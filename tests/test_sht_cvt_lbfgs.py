@@ -1,0 +1,149 @@
+"""Tests for the spherical transform, CVT, and L-BFGS solver."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from vaevar_tpu.da.cvt import BMatrixAssets, CVTransform
+from vaevar_tpu.da.lbfgs import lbfgs_minimize
+from vaevar_tpu.ops.sht import SHT, clenshaw_curtis_weights, gaussian_lat_kernel
+
+
+class TestSHT:
+    def test_cc_weights_integrate_polynomials(self):
+        n = 33
+        w = clenshaw_curtis_weights(n)
+        x = np.cos(np.pi * np.arange(n) / (n - 1))
+        for p, exact in [(0, 2.0), (2, 2 / 3), (4, 2 / 5), (8, 2 / 9)]:
+            assert np.sum(w * x**p) == pytest.approx(exact, rel=1e-10)
+
+    def test_constant_field_coeff(self):
+        sht = SHT(32, 64)
+        f = jnp.ones((32, 64))
+        c = sht.analysis(f)
+        # f=1 => c_00 = integral Y00 dOmega = sqrt(4 pi)
+        assert np.asarray(c)[0, 0].real == pytest.approx(np.sqrt(4 * np.pi), rel=1e-5)
+        assert np.abs(np.asarray(c)[1:, 0]).max() < 1e-4
+
+    def test_cos_theta_coeff(self):
+        sht = SHT(32, 64)
+        theta = np.pi * np.arange(32) / 31
+        f = jnp.asarray(np.broadcast_to(np.cos(theta)[:, None], (32, 64)))
+        c = np.asarray(sht.analysis(f))
+        # cos(theta) = sqrt(4 pi / 3) Y10
+        assert c[1, 0].real == pytest.approx(np.sqrt(4 * np.pi / 3), rel=1e-4)
+
+    def test_roundtrip_bandlimited(self):
+        sht = SHT(32, 64)
+        rng = np.random.default_rng(0)
+        # synthesize from random low-degree coefficients then round-trip
+        c = np.zeros((32, 33), np.complex64)
+        c[:10, 0] = rng.normal(size=10)
+        for m in range(1, 8):
+            c[m:10, m] = rng.normal(size=10 - m) + 1j * rng.normal(size=10 - m)
+        f = sht.synthesis(jnp.asarray(c))
+        c2 = np.asarray(sht.analysis(f))
+        np.testing.assert_allclose(c2[:10, :8], c[:10, :8], atol=2e-4)
+
+    def test_smooth_preserves_mean_scale_and_is_isotropic(self):
+        sht = SHT(32, 64)
+        kern = gaussian_lat_kernel(28, 32, np.array([2.0]))
+        k0 = sht.zonal_coeffs(kern)[0]
+        # impulse at two longitudes -> responses are rotations of each other
+        f1 = jnp.zeros((32, 64)).at[16, 10].set(1.0)
+        f2 = jnp.zeros((32, 64)).at[16, 42].set(1.0)
+        s1 = np.asarray(sht.isotropic_smooth(f1, k0))
+        s2 = np.asarray(sht.isotropic_smooth(f2, k0))
+        np.testing.assert_allclose(np.roll(s1, 32, axis=1), s2, atol=1e-4)
+
+    def test_smooth_linear_and_differentiable(self):
+        sht = SHT(16, 32)
+        kern = gaussian_lat_kernel(12, 16, np.array([1.5]))
+        k0 = sht.zonal_coeffs(kern)[0]
+
+        def op(x):
+            return sht.isotropic_smooth(x, k0)
+
+        rng = np.random.default_rng(1)
+        a = jnp.asarray(rng.normal(size=(16, 32)), jnp.float32)
+        b = jnp.asarray(rng.normal(size=(16, 32)), jnp.float32)
+        np.testing.assert_allclose(
+            np.asarray(op(a + 2 * b)), np.asarray(op(a) + 2 * op(b)), atol=1e-4
+        )
+        # adjoint test via vjp: <Op a, b> == <a, Op^T b>
+        y, vjp = jax.vjp(op, a)
+        (aTb,) = vjp(b)
+        lhs = float(jnp.vdot(y, b))
+        rhs = float(jnp.vdot(a, aTb))
+        assert lhs == pytest.approx(rhs, rel=1e-4)
+
+
+class TestCVT:
+    @pytest.fixture(scope="class")
+    def cvt(self):
+        b = BMatrixAssets.synthetic(scale_factor=2.0)
+        return CVTransform(b, solver_hw=(32, 64), out_hw=(64, 128), hpad=28)
+
+    def test_shapes_and_linearity_in_u(self, cvt):
+        rng = np.random.default_rng(0)
+        u = jnp.asarray(rng.normal(size=(69, 32, 64)), jnp.float32)
+        xb = jnp.asarray(rng.normal(size=(69, 64, 128)), jnp.float32)
+        out = cvt(u, xb)
+        assert out.shape == (69, 64, 128)
+        # transform(u, xb) - xb is linear in u
+        inc1 = cvt(u, jnp.zeros_like(xb))
+        inc2 = cvt(2.0 * u, jnp.zeros_like(xb))
+        np.testing.assert_allclose(np.asarray(inc2), 2 * np.asarray(inc1), atol=1e-3)
+
+    def test_zero_control_returns_background(self, cvt):
+        xb = jnp.asarray(np.random.default_rng(1).normal(size=(69, 64, 128)))
+        out = cvt(jnp.zeros((69, 32, 64)), xb)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(xb), atol=1e-5)
+
+    def test_gradient_flows(self, cvt):
+        xb = jnp.zeros((69, 64, 128))
+
+        def loss(u):
+            return jnp.sum(cvt(u, xb) ** 2)
+
+        g = jax.grad(loss)(jnp.ones((69, 32, 64)) * 0.01)
+        assert np.isfinite(np.asarray(g)).all()
+        assert float(jnp.abs(g).max()) > 0
+
+
+class TestLBFGS:
+    def test_quadratic_converges(self):
+        A = jnp.asarray(np.diag(np.linspace(1, 20, 8)), jnp.float32)
+        b = jnp.asarray(np.arange(8.0), jnp.float32)
+
+        def f(x):
+            return 0.5 * x @ A @ x - b @ x
+
+        res = jax.jit(lambda x0: lbfgs_minimize(f, x0, max_iters=40))(jnp.zeros(8))
+        x_star = np.linalg.solve(np.asarray(A), np.asarray(b))
+        np.testing.assert_allclose(np.asarray(res.x), x_star, atol=1e-3)
+
+    def test_rosenbrock(self):
+        def f(x):
+            return (1 - x[0]) ** 2 + 100 * (x[1] - x[0] ** 2) ** 2
+
+        res = lbfgs_minimize(f, jnp.asarray([-1.2, 1.0]), max_iters=100)
+        np.testing.assert_allclose(np.asarray(res.x), [1.0, 1.0], atol=1e-3)
+
+    def test_pytree_input(self):
+        def f(p):
+            return jnp.sum((p["a"] - 3.0) ** 2) + jnp.sum((p["b"] + 1.0) ** 2)
+
+        res = lbfgs_minimize(
+            f, {"a": jnp.zeros(3), "b": jnp.zeros((2, 2))}, max_iters=20
+        )
+        np.testing.assert_allclose(np.asarray(res.x["a"]), 3.0, atol=1e-4)
+        np.testing.assert_allclose(np.asarray(res.x["b"]), -1.0, atol=1e-4)
+
+    def test_respects_max_iters(self):
+        def f(x):
+            return jnp.sum(x**4) + jnp.sum(x**2)
+
+        res = lbfgs_minimize(f, jnp.ones(4) * 3, max_iters=3)
+        assert int(res.n_iters) <= 3

@@ -1,0 +1,214 @@
+"""Typed configuration for the LGUnet backbone, VAE, and DA engine.
+
+One dataclass-based config system replacing the reference's mix of YAML
+blobs, argparse namespaces and filename conventions. `LGUnetConfig`
+parameterizes a single backbone covering both reference generations:
+
+- new-gen (networks/LGUnet_all.py `LGUnet_all_1`): RoPE window attention,
+  rectangular windows, full-grid attention in the first LG stage;
+- old-gen (networks_old/transformer.py `LGUnet_all`): relative-position-bias
+  attention, square windows, optional LoRA rank on q.
+
+`from_reference_dict` maps reference YAML keys (e.g.
+output/model/model_0.25degree/training_options.yaml:68-119,
+nf_model/parameters0_old.yaml) onto this config.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from dataclasses import dataclass, field
+from typing import Any, Sequence
+
+
+@dataclass(frozen=True)
+class LGUnetConfig:
+    img_size: tuple[int, int] = (128, 256)
+    patch_size: tuple[int, int] = (2, 2)
+    stride: tuple[int, int] = (2, 2)
+    inchans_list: tuple[int, ...] = (4, 13, 13, 13, 13, 13)
+    outchans_list: tuple[int, ...] = (4, 13, 13, 13, 13, 13)
+    enc_dim: int = 96
+    embed_dim: int = 1152
+    window_size: tuple[int, int] = (4, 4)
+    enc_depths: tuple[int, ...] = (2, 2)
+    enc_heads: tuple[int, ...] = (3, 6)
+    lg_depths: tuple[int, ...] = (4, 4, 4)
+    lg_heads: tuple[int, ...] = (6, 6, 6)
+    mlp_ratio: float = 4.0
+    attn_type: str = "rope"  # "rope" (new-gen) | "relbias" (old-gen)
+    lora_rank: int = 0
+    lg_full_attn_first: bool = True  # new-gen: stage0 of LG attends full grid
+    remat: bool = False  # jax.checkpoint each block (activation recompute)
+    dtype: Any = None  # compute dtype (None => float32); params stay f32
+    flash_min_seq: int = 4096  # windows with N >= this use chunked attention
+
+    @property
+    def n_groups(self) -> int:
+        return len(self.inchans_list)
+
+    @property
+    def patches_resolution(self) -> tuple[int, int]:
+        return (self.img_size[0] // self.stride[0], self.img_size[1] // self.stride[1])
+
+    @property
+    def lg_resolution(self) -> tuple[int, int]:
+        f = 2 ** (len(self.enc_depths) - 1)
+        pr = self.patches_resolution
+        return (pr[0] // f, pr[1] // f)
+
+    @property
+    def out_chans(self) -> int:
+        return sum(self.outchans_list)
+
+    @property
+    def in_chans(self) -> int:
+        return sum(self.inchans_list)
+
+    def replace(self, **kw) -> "LGUnetConfig":
+        return dataclasses.replace(self, **kw)
+
+    @classmethod
+    def from_reference_dict(
+        cls, d: dict, attn_type: str = "rope", **overrides
+    ) -> "LGUnetConfig":
+        """Build from a reference-style params dict (YAML `lgunet_all` block)."""
+
+        def pair(v) -> tuple[int, int]:
+            if isinstance(v, (list, tuple)):
+                return (int(v[-2]), int(v[-1]))
+            return (int(v), int(v))
+
+        kw = dict(
+            img_size=pair(d["img_size"]),
+            patch_size=pair(d.get("patch_size", (2, 2))),
+            stride=pair(d.get("stride", (2, 2))),
+            inchans_list=tuple(d["inchans_list"]),
+            outchans_list=tuple(d["outchans_list"]),
+            enc_dim=int(d.get("enc_dim", 96)),
+            embed_dim=int(d.get("embed_dim", 1152)),
+            window_size=pair(d.get("window_size", (4, 4))),
+            enc_depths=tuple(d.get("enc_depths", (2, 2))),
+            enc_heads=tuple(d.get("enc_heads", (3, 6))),
+            lg_depths=tuple(d.get("lg_depths", ())),
+            lg_heads=tuple(d.get("lg_heads", ())),
+            attn_type=attn_type,
+            lora_rank=int(d.get("rank", 0)),
+            lg_full_attn_first=attn_type == "rope",
+            remat=bool(d.get("use_checkpoint", False)),
+        )
+        kw.update(overrides)
+        return cls(**kw)
+
+
+# --- canonical model configs of record -------------------------------------
+
+#: 0.25deg forecast model (reference training_options.yaml:68-119; new-gen).
+FORECAST_025 = LGUnetConfig(
+    img_size=(721, 1440),
+    patch_size=(3, 2),
+    stride=(2, 2),
+    inchans_list=(4, 13, 13, 13, 13, 13),
+    outchans_list=(8, 26, 26, 26, 26, 26),
+    enc_dim=96,
+    embed_dim=1152,
+    window_size=(6, 12),
+    enc_depths=(2, 2, 2),
+    enc_heads=(3, 6, 6),
+    lg_depths=(4, 4, 4),
+    lg_heads=(6, 6, 6),
+    attn_type="rope",
+    remat=True,
+)
+
+#: 1.4deg flow model used inside the 4D-Var window (old-gen topology; the
+#: reference loads it from ../fengwu-lite which is not in-repo, so geometry
+#: follows the VAE yaml family at 128x256).
+FLOW_140 = LGUnetConfig(
+    img_size=(128, 256),
+    patch_size=(2, 2),
+    stride=(2, 2),
+    inchans_list=(4, 13, 13, 13, 13, 13),
+    outchans_list=(8, 26, 26, 26, 26, 26),
+    enc_dim=96,
+    embed_dim=1152,
+    window_size=(4, 4),
+    enc_depths=(2, 2),
+    enc_heads=(3, 6),
+    lg_depths=(4, 4, 4),
+    lg_heads=(6, 6, 6),
+    attn_type="relbias",
+    lg_full_attn_first=False,
+)
+
+#: VAE encoder (nf_model/parameters0_old.yaml `encoder`): 69ch -> 64ch=mu||logvar.
+VAE_ENCODER = LGUnetConfig(
+    img_size=(128, 256),
+    patch_size=(2, 2),
+    stride=(2, 2),
+    inchans_list=(4, 13, 13, 13, 13, 13),
+    outchans_list=(4, 12, 12, 12, 12, 12),
+    enc_dim=96,
+    embed_dim=1152,
+    window_size=(4, 4),
+    enc_depths=(2, 2),
+    enc_heads=(3, 6),
+    lg_depths=(4, 4, 4),
+    lg_heads=(6, 6, 6),
+    attn_type="relbias",
+    lg_full_attn_first=False,
+)
+
+#: VAE decoder (nf_model/parameters0_old.yaml `decoder`): 32ch latent -> 69ch.
+VAE_DECODER = VAE_ENCODER.replace(
+    inchans_list=(2, 6, 6, 6, 6, 6),
+    outchans_list=(4, 13, 13, 13, 13, 13),
+)
+
+
+def tiny_config(
+    img_size=(32, 64), attn_type="rope", lg_full_attn_first=True
+) -> LGUnetConfig:
+    """Small config for tests: same topology, tiny dims."""
+    return LGUnetConfig(
+        img_size=img_size,
+        patch_size=(2, 2),
+        stride=(2, 2),
+        inchans_list=(4, 13, 13, 13, 13, 13),
+        outchans_list=(8, 26, 26, 26, 26, 26),
+        enc_dim=8,
+        embed_dim=48,
+        window_size=(4, 4),
+        enc_depths=(2, 2),
+        enc_heads=(2, 2),
+        lg_depths=(2, 2),
+        lg_heads=(2, 2),
+        attn_type=attn_type,
+        lg_full_attn_first=lg_full_attn_first,
+    )
+
+
+@dataclass(frozen=True)
+class DAConfig:
+    """Cycled variational DA configuration (reference arg_parser, da_4dvar.py:28-60)."""
+
+    da_mode: str = "vae4dvar"  # free_run | interpolation | sc4dvar | vae4dvar
+    da_win: int = 1  # number of hourly slots in the window (1 => 3D-Var)
+    nit: int = 4  # outer iterations
+    lbfgs_iters: int = 10  # inner L-BFGS iterations per outer step
+    lbfgs_history: int = 10
+    obs_std: float = 0.005
+    obs_coeff: float = 1.0
+    filter_coeff: float = 0.1
+    obs_type: str = "column_random_0001"
+    q_type: int = 1
+    scale_factor: float = 2.0
+    modify_tp: int = 2
+    interp_dim: int = 40
+    init_lag: int = 8
+    init_tp: int = 0
+    save_interval: int = 5
+    use_eval: bool = False
+    latent_shape: tuple[int, ...] = (1, 32, 128, 256)
+    grid_hw: tuple[int, int] = (721, 1440)  # analysis grid
+    solver_hw: tuple[int, int] = (128, 256)  # CVT / latent grid
