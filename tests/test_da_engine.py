@@ -1,0 +1,229 @@
+"""End-to-end DA engine tests on tiny grids (CPU)."""
+
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from vaevar_tpu import channels
+from vaevar_tpu import config as cfgs
+from vaevar_tpu.da import cost as cost_mod
+from vaevar_tpu.da import obs as obs_mod
+from vaevar_tpu.da.cost import ObsBundle
+from vaevar_tpu.da.cvt import BMatrixAssets, CVTransform
+from vaevar_tpu.da.cycler import CycledDA
+from vaevar_tpu.da.solver import VariationalSolver
+from vaevar_tpu.data.era5 import LocalNpyStore, SyntheticEra5
+from vaevar_tpu.models.vae import VAE
+
+HW = (32, 64)
+
+
+import functools
+
+
+@functools.lru_cache(maxsize=1)
+def tiny_vae():
+    enc = cfgs.tiny_config(attn_type="relbias", lg_full_attn_first=False)
+    enc = enc.replace(outchans_list=(4, 12, 12, 12, 12, 12))
+    dec = enc.replace(
+        inchans_list=(2, 6, 6, 6, 6, 6), outchans_list=(4, 13, 13, 13, 13, 13)
+    )
+    model = VAE(enc, dec)
+    x = jnp.zeros((1, 69, *HW))
+    params = model.init(jax.random.PRNGKey(0), x, jax.random.PRNGKey(1))
+    dec_apply = lambda p, z: model.apply(p, z, method=VAE.decoder)
+    return model, params, dec_apply
+
+
+class TestObs:
+    def test_obs_error_variance_modify_tp(self):
+        v0 = obs_mod.obs_error_variance(0.005, 0)
+        v2 = obs_mod.obs_error_variance(0.005, 2)
+        np.testing.assert_allclose(v2[56:], v0[56:] / 16)
+        np.testing.assert_allclose(v2[2], v0[2] / 16)
+        np.testing.assert_allclose(v2[3:56], v0[3:56])
+
+    def test_make_obs_mask_free(self):
+        rng = np.random.default_rng(0)
+        H = obs_mod.make_obs_mask("free_0001", 1, (100, 100), rng)
+        assert H.shape == (1, 69, 100, 100)
+        assert H[0, 0].sum() == 1000
+        # column obs: identical mask across channels
+        assert (H[0, 0] == H[0, 40]).all()
+
+    def test_make_obs_mask_column_random(self):
+        rng = np.random.default_rng(0)
+        H = obs_mod.make_obs_mask("column_random_0100", 2, (100, 100), rng)
+        assert H.shape == (2, 69, 100, 100)
+        assert H[0, 0].sum() == pytest.approx(100)  # 1% of 1e4
+
+    def test_build_R_with_q(self):
+        var = obs_mod.obs_error_variance(0.01)
+        q = np.ones((2, 69, 8, 16), np.float32)
+        R = obs_mod.build_R(var, q, 3, (8, 16))
+        np.testing.assert_allclose(R[0, :, 0, 0], var)
+        np.testing.assert_allclose(R[1, :, 0, 0], var + 1)
+
+    def test_station_gridding(self):
+        reports = {
+            "a": {"position": [180.0, 0.0, 500.0, 0.0],
+                  "value": [None, 5500.0, 1.0, 2.0, 3.0, 250.0, None, 1012.0]},
+            "b": {"position": [None, 0.0, 500.0, 0.0], "value": [0] * 8},
+        }
+        H = obs_mod.station_mask_from_reports(reports, 1, hw=(181, 360))
+        lat, lon = 90, 180
+        h = int(np.sum((obs_mod._STATION_HEIGHT_BINS - 500.0) <= 0))
+        for vi in range(5):
+            assert H[0, 4 + h + 13 * vi, lat, lon] == 1
+        assert H[0, 3, lat, lon] == 1  # msl
+        # surface mirrors lowest level
+        assert (H[0, 0] == H[0, 42]).all()
+
+    def test_real_obs_gridding_units(self):
+        reports = [{
+            "r1": {"position": [0.0, 90.0, 1000.0, 0.0],
+                   "value": [1000.0, 100.0, 5.0, 1.0, 2.0, 20.0, None, 1000.0]},
+        }]
+        obs, H = obs_mod.grid_real_obs(reports, 1, dim_out=40, hw=(19, 36))
+        assert obs.shape == (1, 204, 19, 36)
+        lat, lon = 0, 0
+        levels = obs_mod.obs_height_levels(40)
+        bins = np.sqrt(levels[:-1] * levels[1:])
+        h = int(np.sum((bins - 1000.0) <= 0))
+        # z converted via *9.8 + lapse; q via *1e-6; t via +273.15 + lapse
+        assert H[0, 4 + h, lat, lon] == 1
+        assert obs[0, 4 + 40 + h, lat, lon] == pytest.approx(5e-6)
+        assert obs[0, 3, lat, lon] == pytest.approx(1e5)
+
+    def test_qc_filter(self):
+        std_aug = obs_mod.std_layer_augmented(40)
+        yo = np.zeros((1, 204, 4, 4), np.float32)
+        gt = np.zeros_like(yo)
+        yo[0, 50, 0, 0] = 100 * std_aug[50]  # gross error
+        Hm = np.ones_like(yo)
+        H2 = obs_mod.qc_filter(yo, gt, Hm, 0.1, "real", std_aug)
+        assert H2[0, 50, 0, 0] == 0
+        assert H2[0, 50, 1, 1] == 1
+
+
+class TestVae4dvarSolve:
+    def test_cost_decreases_and_analysis_beats_background(self):
+        model, params, dec_apply = tiny_vae()
+        src = SyntheticEra5(hw=HW, seed=3)
+        gt = jnp.asarray(src.get_state(0))[None]  # (1, 69, H, W)
+        xb = jnp.asarray(src.get_state(0)) + jnp.asarray(
+            0.5 * channels.STD.reshape(-1, 1, 1) * np.random.default_rng(1).normal(
+                size=(69, *HW)
+            )
+        ).astype(jnp.float32)
+        rng = np.random.default_rng(0)
+        H = jnp.asarray(obs_mod.make_obs_mask("free_0001", 1, HW, rng))
+        var = obs_mod.obs_error_variance(0.005, 2)
+        R = jnp.asarray(obs_mod.build_R(var, None, 1, HW))
+        c, to_state, parts = cost_mod.make_vae4dvar_cost(dec_apply, params)
+        bundle = ObsBundle(xb=xb, yo=gt, H=H, R=R)
+        z0 = jnp.zeros((1, 32, *HW), jnp.float32)
+        j0 = float(c(z0, bundle))
+        solver = VariationalSolver(c, to_state, parts, lbfgs_iters=8)
+        z, xa, diag = solver.solve(z0, bundle, nit=2, gt=gt, verbose=False)
+        j1 = float(c(z, bundle))
+        assert j1 < j0
+        # background equals analysis at z=0; J must strictly improve
+        assert diag.loss_obs[-1] < diag.loss_obs[0]
+
+    def test_sc4dvar_cost_decreases(self):
+        src = SyntheticEra5(hw=HW, seed=4)
+        gt = jnp.asarray(src.get_state(0))[None]
+        xb = gt[0] + jnp.asarray(
+            0.3 * channels.STD.reshape(-1, 1, 1)
+        ).astype(jnp.float32)
+        b = BMatrixAssets.synthetic()
+        cvt = CVTransform(b, solver_hw=HW, out_hw=HW, hpad=28)
+        rng = np.random.default_rng(0)
+        H = jnp.asarray(obs_mod.make_obs_mask("free_0001", 1, HW, rng))
+        R = jnp.asarray(obs_mod.build_R(obs_mod.obs_error_variance(0.01), None, 1, HW))
+        c, to_state, parts = cost_mod.make_sc4dvar_cost(cvt)
+        bundle = ObsBundle(xb=xb, yo=gt, H=H, R=R)
+        w0 = jnp.zeros((69, *HW), jnp.float32)
+        solver = VariationalSolver(c, to_state, parts, lbfgs_iters=5)
+        w, xa, diag = solver.solve(w0, bundle, nit=2, gt=gt, verbose=False)
+        assert float(c(w, bundle)) < float(c(w0, bundle))
+
+
+class TestCycler:
+    def _mk(self, tmp_path, mode, **kw):
+        model, params, dec_apply = tiny_vae()
+        src = SyntheticEra5(hw=HW, seed=5)
+        cfg = cfgs.DAConfig(
+            da_mode=mode,
+            da_win=1,
+            nit=1,
+            lbfgs_iters=4,
+            obs_type="free_0001",
+            grid_hw=HW,
+            solver_hw=HW,
+            latent_shape=(1, 32, *HW),
+            init_tp=1,
+            init_lag=1,
+            **kw,
+        )
+        integrate = lambda x, steps, interpolation=False: x  # persistence
+        return CycledDA(
+            cfg,
+            src,
+            integrate,
+            decoder_apply=dec_apply,
+            vae_params=params,
+            cvt=CVTransform(BMatrixAssets.synthetic(), HW, HW, hpad=28),
+            work_dir=str(tmp_path / mode),
+            verbose=False,
+        )
+
+    def test_free_run_two_cycles(self, tmp_path):
+        da = self._mk(tmp_path, "free_run")
+        da.run_assimilation("2022-01-01 00:00", "2022-01-01 12:00")
+        assert len(da.metrics_list["bg_wrmse"]) == 2
+        assert os.path.exists(os.path.join(da.work_dir, "xb.npy"))
+
+    def test_vae4dvar_cycle_and_resume(self, tmp_path):
+        da = self._mk(tmp_path, "vae4dvar")
+        da.run_assimilation("2022-01-01 00:00", "2022-01-01 06:00")
+        n1 = len(da.metrics_list["ana_wrmse"])
+        assert n1 == 1
+        # resume: a fresh driver picks up where the first left off
+        da2 = self._mk(tmp_path, "vae4dvar")
+        da2.run_assimilation("2022-01-01 00:00", "2022-01-01 12:00")
+        assert len(da2.metrics_list["ana_wrmse"]) == 2
+
+    def test_interpolation_mode(self, tmp_path):
+        da = self._mk(tmp_path, "interpolation")
+        da.run_assimilation("2022-01-01 00:00", "2022-01-01 06:00")
+        assert len(da.metrics_list["ana_wrmse"]) == 1
+
+
+class TestData:
+    def test_synthetic_coherence(self):
+        src = SyntheticEra5(hw=(16, 32), seed=0)
+        s0 = src.get_state(0)
+        s1 = src.get_state(1)
+        s0b = src.get_state(0)
+        np.testing.assert_array_equal(s0, s0b)  # deterministic
+        assert not np.allclose(s0, s1)  # evolves
+        # consecutive states are correlated (synoptic coherence)
+        c0 = (s0 - channels.MEAN.reshape(-1, 1, 1)) / channels.STD.reshape(-1, 1, 1)
+        c1 = (s1 - channels.MEAN.reshape(-1, 1, 1)) / channels.STD.reshape(-1, 1, 1)
+        corr = np.mean(c0 * c1) / (np.std(c0) * np.std(c1))
+        assert corr > 0.5
+
+    def test_local_store_roundtrip(self, tmp_path):
+        import pandas as pd
+
+        store = LocalNpyStore(str(tmp_path), hw=(8, 16))
+        ts = pd.Timestamp("2022-01-01 06:00")
+        x = np.random.default_rng(0).normal(size=(69, 8, 16)).astype(np.float32)
+        store.save_state(ts, x)
+        assert store.has(ts)
+        np.testing.assert_array_equal(store.get_state(ts), x)

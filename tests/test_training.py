@@ -1,0 +1,183 @@
+"""VAE/forecast trainer + data pipeline + parallel mesh tests."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from vaevar_tpu import channels
+from vaevar_tpu import config as cfgs
+from vaevar_tpu.data.era5 import SyntheticEra5
+from vaevar_tpu.data.nmc import NMCSequenceDataset, batched_loader
+from vaevar_tpu.models.lgunet import LGUnet
+from vaevar_tpu.models.vae import VAE
+from vaevar_tpu.parallel import mesh as pmesh
+from vaevar_tpu.train.forecast_trainer import (
+    calculate_q,
+    lp_loss,
+    make_forecast_train_step,
+    multi_step_predict,
+    poss_loss,
+)
+from vaevar_tpu.train.vae_trainer import (
+    make_vae_train_step,
+    nmc_error_sample,
+    replicated_checksum,
+)
+
+HW = (32, 64)
+
+
+def tiny_models():
+    fcfg = cfgs.tiny_config()
+    forecast = LGUnet(fcfg)
+    fx = jnp.zeros((1, 69, *HW))
+    fparams = forecast.init(jax.random.PRNGKey(0), fx)
+    f_apply = forecast.apply
+
+    enc = cfgs.tiny_config(attn_type="relbias", lg_full_attn_first=False)
+    enc = enc.replace(outchans_list=(4, 12, 12, 12, 12, 12))
+    dec = enc.replace(
+        inchans_list=(2, 6, 6, 6, 6, 6), outchans_list=(4, 13, 13, 13, 13, 13)
+    )
+    vae = VAE(enc, dec)
+    return forecast, fparams, f_apply, vae
+
+
+class TestNMCData:
+    def test_sequence_dataset(self):
+        src = SyntheticEra5(hw=(16, 32), seed=0)
+        ds = NMCSequenceDataset(src, "2022-01-01", "2022-01-05", length=5)
+        assert len(ds) > 0
+        s = ds[0]
+        assert s.shape == (5, 69, 16, 32)
+        # normalized
+        assert abs(float(s.mean())) < 1.0
+
+    def test_batched_loader(self):
+        src = SyntheticEra5(hw=(16, 32), seed=0)
+        ds = NMCSequenceDataset(src, "2022-01-01", "2022-01-03", length=2)
+        batches = list(batched_loader(ds, 2, seed=1))
+        assert all(b.shape == (2, 2, 69, 16, 32) for b in batches)
+
+
+class TestVAETrainer:
+    def test_train_step_reduces_loss(self):
+        forecast, fparams, f_apply, vae = tiny_models()
+        init_fn, step = make_vae_train_step(
+            vae, f_apply, sigma=2.0, lr=1e-3, latent_hw=HW, nmc_steps=1
+        )
+        rng = np.random.default_rng(0)
+        frames = jnp.asarray(
+            rng.normal(size=(2, 2, 69, *HW)).astype(np.float32)
+        )
+        params, opt_state = init_fn(jax.random.PRNGKey(1), frames, fparams)
+        step_j = jax.jit(step)
+        losses = []
+        key = jax.random.PRNGKey(2)
+        for i in range(6):
+            key, sub = jax.random.split(key)
+            params, opt_state, m = step_j(params, opt_state, fparams, frames, sub)
+            losses.append(float(m["loss"]))
+        assert losses[-1] < losses[0]
+
+    def test_nmc_error_sample_shape(self):
+        forecast, fparams, f_apply, _ = tiny_models()
+        frames = jnp.zeros((1, 2, 69, *HW))
+        err = nmc_error_sample(frames, f_apply, fparams, (16, 32), nmc_steps=1)
+        assert err.shape == (1, 69, 16, 32)
+
+    def test_checksum(self):
+        _, fparams, _, _ = tiny_models()
+        c = replicated_checksum(fparams)
+        assert np.isfinite(c) and c > 0
+
+
+class TestForecastTrainer:
+    def test_poss_loss_clamps(self):
+        pred = jnp.zeros((1, 4, 4, 4))
+        tar = jnp.zeros((1, 2, 4, 4))
+        mx = jnp.ones((1, 32)) / 2
+        mn = -jnp.ones((1, 32)) * 10
+        l = float(poss_loss(pred, tar, mx, mn))
+        assert np.isfinite(l)
+
+    def test_lp_loss_zero(self):
+        x = jnp.ones((2, 3, 4, 4))
+        assert float(lp_loss(x, x)) == 0.0
+
+    def test_train_step_possloss(self):
+        forecast, fparams, f_apply, _ = tiny_models()
+        init_fn, step = make_forecast_train_step(
+            f_apply, "Possloss", lr=1e-4, total_steps=100,
+            out_shape=(138, *HW),
+        )
+        trainable, opt_state = init_fn(fparams)
+        rng = np.random.default_rng(0)
+        inp = jnp.asarray(rng.normal(size=(1, 69, *HW)).astype(np.float32))
+        tar = jnp.asarray(rng.normal(size=(1, 69, *HW)).astype(np.float32))
+        step_j = jax.jit(step)
+        losses = []
+        for _ in range(4):
+            trainable, opt_state, loss = step_j(trainable, opt_state, inp, [tar])
+            losses.append(float(loss))
+        assert losses[-1] < losses[0]
+
+    def test_calculate_q_and_rollout(self):
+        forecast, fparams, f_apply, _ = tiny_models()
+        rng = np.random.default_rng(1)
+        pairs = [
+            (rng.normal(size=(1, 69, *HW)).astype(np.float32),
+             rng.normal(size=(1, 69, *HW)).astype(np.float32))
+        ]
+        q = calculate_q(f_apply, fparams, pairs)
+        assert q.shape == (69, *HW) and (q >= 0).all()
+        roll = multi_step_predict(f_apply, fparams, pairs[0][0], steps=2)
+        assert roll.shape == (2, 1, 69, *HW)
+
+
+class TestParallel:
+    def test_mesh_and_sharded_train_step(self):
+        # 8 virtual CPU devices from conftest
+        devs = jax.devices()
+        assert len(devs) == 8
+        mesh = pmesh.make_mesh({"dp": 2, "sh": 2, "sw": 2}, devs)
+        forecast, fparams, f_apply, vae = tiny_models()
+        init_fn, step = make_vae_train_step(
+            vae, f_apply, sigma=2.0, lr=1e-3, latent_hw=HW, nmc_steps=1
+        )
+        rng = np.random.default_rng(0)
+        frames = np.ascontiguousarray(
+            rng.normal(size=(2, 2, 69, *HW)).astype(np.float32)
+        )
+        params, opt_state = init_fn(jax.random.PRNGKey(1), jnp.asarray(frames), fparams)
+
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        batch_sh = NamedSharding(mesh, P("dp", None, None, "sh", "sw"))
+        frames_sharded = jax.device_put(frames, batch_sh)
+        params = pmesh.replicate(params, mesh)
+        opt_state = pmesh.replicate(opt_state, mesh)
+        fparams_r = pmesh.replicate(fparams, mesh)
+
+        step_j = jax.jit(step)
+        p2, o2, m = step_j(
+            params, opt_state, fparams_r, frames_sharded, jax.random.PRNGKey(2)
+        )
+        assert np.isfinite(float(m["loss"]))
+
+    def test_spatially_sharded_forward_matches_single(self):
+        devs = jax.devices()
+        mesh = pmesh.make_mesh({"sh": 2, "sw": 4}, devs)
+        forecast, fparams, f_apply, _ = tiny_models()
+        rng = np.random.default_rng(3)
+        x = rng.normal(size=(1, 69, *HW)).astype(np.float32)
+
+        y_single = np.asarray(forecast.apply(fparams, jnp.asarray(x)))
+
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        xs = jax.device_put(x, NamedSharding(mesh, P(None, None, "sh", "sw")))
+        ps = pmesh.replicate(fparams, mesh)
+        y_sharded = np.asarray(jax.jit(forecast.apply)(ps, xs))
+        np.testing.assert_allclose(y_sharded, y_single, atol=2e-4)

@@ -1,0 +1,242 @@
+"""Cycled data assimilation driver: background -> analysis -> 6h forecast.
+
+Equivalent of the reference `cyclic_4dvar.run_assimilation` + state machine
+(da_4dvar.py:455-518,649-727,1314-1342): restartable on-disk state
+(xb.npy + current_time.txt), per-cycle metric accumulation dumped as .npy,
+spin-up initialization, and the four DA modes (free_run, interpolation,
+sc4dvar, vae4dvar). The inner variational solve is fully on-device; this
+driver is the thin host-side loop around it.
+"""
+
+from __future__ import annotations
+
+import os
+import time
+from dataclasses import dataclass, field
+from typing import Callable, Optional
+
+import jax.numpy as jnp
+import numpy as np
+import pandas as pd
+
+from vaevar_tpu import channels
+from vaevar_tpu.config import DAConfig
+from vaevar_tpu.da import baselines, cost as cost_mod, obs as obs_mod
+from vaevar_tpu.da.cost import ObsBundle
+from vaevar_tpu.da.solver import VariationalSolver
+from vaevar_tpu.utils import metrics as M
+
+CYCLE = pd.Timedelta("6h")
+STEP = pd.Timedelta("1h")
+
+_METRIC_KEYS = ("bg_wrmse", "ana_wrmse", "bg_mse", "ana_mse", "bg_bias", "ana_bias")
+
+
+@dataclass
+class CycledDA:
+    cfg: DAConfig
+    state_source: object  # .get_state(ts) -> (69, H, W) physical
+    forecast_integrate: Callable  # integrate(x, steps) on analysis grid
+    flow_step: Optional[Callable] = None  # hourly step for 4D-Var windows
+    decoder_apply: Optional[Callable] = None  # vae4dvar decoder fn
+    vae_params: object = None
+    cvt: Optional[Callable] = None  # sc4dvar transform(u, xb)
+    work_dir: str = "da_cycle_results/run"
+    seed: int = 0
+    mask_dir: Optional[str] = None
+    verbose: bool = True
+
+    metrics_list: dict = field(default_factory=lambda: {k: [] for k in _METRIC_KEYS})
+
+    def __post_init__(self):
+        os.makedirs(self.work_dir, exist_ok=True)
+        self._rng = np.random.default_rng(self.seed)
+        hw = self.cfg.grid_hw
+        obs_var = obs_mod.obs_error_variance(self.cfg.obs_std, self.cfg.modify_tp)
+        q = obs_mod.load_q_matrix(
+            self.mask_dir or ".", self.cfg.q_type, self.cfg.da_win, hw
+        ) if self.cfg.da_win > 1 else None
+        self.R = obs_mod.build_R(obs_var, q, self.cfg.da_win, hw)
+        self._load_metrics()
+        self._solver = self._build_solver()
+
+    def _build_solver(self):
+        cfg = self.cfg
+        if cfg.da_mode == "vae4dvar":
+            assert self.decoder_apply is not None
+            c, to_state, parts = cost_mod.make_vae4dvar_cost(
+                self.decoder_apply,
+                self.vae_params,
+                self.flow_step,
+                da_win=cfg.da_win,
+                obs_coeff=cfg.obs_coeff,
+            )
+            return VariationalSolver(
+                c, to_state, parts, lbfgs_iters=cfg.lbfgs_iters,
+                history=cfg.lbfgs_history,
+            )
+        if cfg.da_mode == "sc4dvar":
+            assert self.cvt is not None
+            c, to_state, parts = cost_mod.make_sc4dvar_cost(
+                self.cvt, self.flow_step, da_win=cfg.da_win,
+                obs_coeff=cfg.obs_coeff,
+            )
+            # reference uses max_iter=5 per segment for sc4dvar
+            # (da_4dvar.py:1119)
+            return VariationalSolver(
+                c, to_state, parts, lbfgs_iters=min(cfg.lbfgs_iters, 5),
+                history=cfg.lbfgs_history,
+            )
+        return None
+
+    # --- resume machinery -----------------------------------------------
+
+    def _load_metrics(self):
+        for k in self.metrics_list:
+            p = os.path.join(self.work_dir, f"{k}.npy")
+            if os.path.exists(p):
+                self.metrics_list[k] = list(np.load(p, allow_pickle=True))
+
+    def save_eval_result(self):
+        for k, v in self.metrics_list.items():
+            np.save(os.path.join(self.work_dir, k), np.asarray(v))
+
+    def save_ckpt(self, current_time, xb):
+        np.save(os.path.join(self.work_dir, "xb.npy"), np.asarray(xb))
+        with open(os.path.join(self.work_dir, "current_time.txt"), "w") as f:
+            f.write(str(current_time))
+
+    def get_current_states(self, start_time):
+        tpath = os.path.join(self.work_dir, "current_time.txt")
+        xpath = os.path.join(self.work_dir, "xb.npy")
+        current = pd.Timestamp(open(tpath).read()) if os.path.exists(tpath) else start_time
+        if os.path.exists(xpath):
+            xb = jnp.asarray(np.load(xpath))
+        else:
+            xb = self.get_initial_state(start_time)
+        return current, xb
+
+    def get_initial_state(self, start_time):
+        """Spin-up per init_tp (da_4dvar.py:649-664)."""
+        cfg = self.cfg
+        if cfg.init_tp == 0:
+            x0 = jnp.asarray(
+                self.state_source.get_state(start_time - cfg.init_lag * CYCLE)
+            )
+            return self.forecast_integrate(x0, cfg.init_lag)
+        if cfg.init_tp == 1:
+            return jnp.asarray(
+                self.state_source.get_state(start_time - cfg.init_lag * CYCLE)
+            )
+        return jnp.asarray(
+            self.state_source.get_state(start_time - 4 * 183 * CYCLE)
+        )
+
+    # --- per-cycle pieces -------------------------------------------------
+
+    def get_obs_info(self, current_time):
+        """(yo, H, R, gt) for synthetic obs families: obs = truth at mask
+        points (reference uses noiseless synthetic obs, da_4dvar.py:449)."""
+        cfg = self.cfg
+        frames = [self.state_source.get_state(current_time)]
+        t = current_time
+        for _ in range(cfg.da_win - 1):
+            t = t + STEP
+            frames.append(self.state_source.get_state(t))
+        gt = np.stack(frames)  # (T, 69, H, W)
+        yo = gt
+        H = obs_mod.make_obs_mask(
+            cfg.obs_type, cfg.da_win, cfg.grid_hw, self._rng, self.mask_dir
+        )
+        return (
+            jnp.asarray(yo),
+            jnp.asarray(H),
+            jnp.asarray(self.R),
+            jnp.asarray(gt),
+        )
+
+    def _score(self, prefix, x, gt0):
+        mean = channels.MEAN.reshape(-1, 1, 1)
+        std = channels.STD.reshape(-1, 1, 1)
+        xn = (np.asarray(x) - mean) / std
+        gn = (np.asarray(gt0) - mean) / std
+        wrmse = np.asarray(
+            M.weighted_rmse(jnp.asarray(xn)[None], jnp.asarray(gn)[None])
+        ) * channels.STD
+        bias = np.asarray(
+            M.weighted_bias(jnp.asarray(xn - gn)[None])
+        ) * channels.STD
+        mse = float(np.mean((xn - gn) ** 2))
+        self.metrics_list[f"{prefix}_wrmse"].append(wrmse)
+        self.metrics_list[f"{prefix}_bias"].append(bias)
+        self.metrics_list[f"{prefix}_mse"].append(mse)
+        return wrmse
+
+    def one_step_da(self, gt, xb, yo, H, R):
+        cfg = self.cfg
+        mode = cfg.da_mode
+        w_bg = self._score("bg", xb, gt[0])
+        if self.verbose:
+            print(
+                f"  bg: z500 {w_bg[11]:.4g} t850 {w_bg[66]:.4g} t2m {w_bg[2]:.4g}",
+                flush=True,
+            )
+
+        if mode == "free_run":
+            xa = xb
+        elif mode == "interpolation":
+            xa = jnp.asarray(
+                baselines.interpolation_analysis(
+                    np.asarray(xb), np.asarray(yo[0]), np.asarray(H[0])
+                )
+            )
+        elif mode == "vae4dvar":
+            bundle = ObsBundle(xb=xb, yo=yo, H=H, R=R)
+            z0 = jnp.zeros(cfg.latent_shape, jnp.float32)
+            _, xa, diag = self._solver.solve(
+                z0, bundle, nit=cfg.nit, gt=gt,
+                verbose=self.verbose, name="vae4dvar",
+            )
+        elif mode == "sc4dvar":
+            bundle = ObsBundle(xb=xb, yo=yo, H=H, R=R)
+            w0 = jnp.zeros((channels.N_CHANNELS, *cfg.solver_hw), jnp.float32)
+            _, xa, diag = self._solver.solve(
+                w0, bundle, nit=cfg.nit, gt=gt,
+                verbose=self.verbose, name="sc4dvar",
+            )
+        else:
+            raise NotImplementedError(mode)
+
+        w_ana = self._score("ana", xa, gt[0])
+        if self.verbose:
+            print(
+                f"  ana: z500 {w_ana[11]:.4g} t850 {w_ana[66]:.4g} "
+                f"t2m {w_ana[2]:.4g}",
+                flush=True,
+            )
+        return xa
+
+    # --- main loop --------------------------------------------------------
+
+    def run_assimilation(self, start_time, end_time):
+        start_time = pd.Timestamp(start_time)
+        end_time = pd.Timestamp(end_time)
+        current_time, xb = self.get_current_states(start_time)
+        epoch = 0
+        while current_time + CYCLE <= end_time:
+            if self.verbose:
+                print(f"cycle @ {current_time}", flush=True)
+            t0 = time.time()
+            yo, H, R, gt = self.get_obs_info(current_time)
+            xa = self.one_step_da(gt, xb, yo, H, R)
+            self.save_eval_result()
+            xb = self.forecast_integrate(xa, 1)
+            current_time = current_time + CYCLE
+            if epoch % self.cfg.save_interval == 0:
+                self.save_ckpt(current_time, xb)
+            epoch += 1
+            if self.verbose:
+                print(f"  cycle took {time.time() - t0:.2f}s", flush=True)
+        self.save_ckpt(current_time, xb)
+        self.save_eval_result()
+        return xb

@@ -1,0 +1,102 @@
+"""Outer variational solve loop with per-iteration diagnostics.
+
+Mirrors the reference optimization protocol (da_4dvar.py:1109-1177,
+1238-1306): Nit outer iterations, each running an L-BFGS segment
+(strong-Wolfe) of `lbfgs_iters` quasi-Newton steps, with WRMSE/bias
+diagnostics against truth evaluated between segments.
+
+`VariationalSolver` jits the segment/diagnostic programs ONCE per run —
+per-cycle data (xb, yo, H, R) are traced arguments (ObsBundle), so a
+year-long cycled run compiles exactly one solve program.
+"""
+
+from __future__ import annotations
+
+import time
+from dataclasses import dataclass, field
+from typing import Callable
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from vaevar_tpu import channels
+from vaevar_tpu.da.cost import ObsBundle
+from vaevar_tpu.da.lbfgs import lbfgs_minimize
+from vaevar_tpu.utils import metrics as M
+
+
+@dataclass
+class SolveDiagnostics:
+    wrmse: list = field(default_factory=list)  # per outer iter, (69,)
+    bias: list = field(default_factory=list)
+    loss_reg: list = field(default_factory=list)
+    loss_obs: list = field(default_factory=list)
+    seconds: float = 0.0
+
+
+class VariationalSolver:
+    """Holds jit caches for one (cost, to_state) family across a whole run."""
+
+    def __init__(
+        self,
+        cost: Callable,  # (x, bundle) -> scalar
+        to_state: Callable,  # (x, bundle) -> (69, H, W)
+        cost_parts: Callable,  # (x, bundle) -> (jb, jo)
+        lbfgs_iters: int = 10,
+        history: int = 10,
+    ):
+        self._mean = jnp.asarray(channels.MEAN, jnp.float32).reshape(-1, 1, 1)
+        self._std = jnp.asarray(channels.STD, jnp.float32).reshape(-1, 1, 1)
+
+        def segment(x, bundle):
+            return lbfgs_minimize(
+                lambda q: cost(q, bundle), x, max_iters=lbfgs_iters,
+                history=history,
+            ).x
+
+        def diagnostics(x, bundle, gt0):
+            xhat_n = (to_state(x, bundle) - self._mean) / self._std
+            gt_n = (gt0 - self._mean) / self._std
+            wrmse = M.weighted_rmse(xhat_n[None], gt_n[None]) * jnp.asarray(
+                channels.STD
+            )
+            bias = M.weighted_bias((xhat_n - gt_n)[None]) * jnp.asarray(channels.STD)
+            jb, jo = cost_parts(x, bundle)
+            return wrmse, bias, jb, jo
+
+        self.segment = jax.jit(segment)
+        self.diagnostics = jax.jit(diagnostics)
+        self.to_state = jax.jit(to_state)
+
+    def solve(
+        self,
+        x0,
+        bundle: ObsBundle,
+        nit: int = 4,
+        gt=None,
+        verbose: bool = True,
+        name: str = "da",
+    ):
+        diag = SolveDiagnostics()
+        t0 = time.time()
+        x = x0
+        for kk in range(nit + 1):
+            if gt is not None:
+                wrmse, bias, jb, jo = self.diagnostics(x, bundle, gt[0])
+                diag.wrmse.append(np.asarray(wrmse))
+                diag.bias.append(np.asarray(bias))
+                diag.loss_reg.append(float(jb))
+                diag.loss_obs.append(float(jo))
+                if verbose:
+                    w = np.asarray(wrmse)
+                    print(
+                        f"[{name}] iter {kk}: z500 {w[11]:.4g} q500 {w[24]:.4g} "
+                        f"t2m {w[2]:.4g} t850 {w[66]:.4g} u500 {w[37]:.4g} "
+                        f"v500 {w[50]:.4g} Jb {float(jb):.4g} Jo {float(jo):.4g}",
+                        flush=True,
+                    )
+            if kk < nit:
+                x = self.segment(x, bundle)
+        diag.seconds = time.time() - t0
+        return x, self.to_state(x, bundle), diag

@@ -1,0 +1,98 @@
+"""ERA5-like state sources: local .npy store and synthetic generator.
+
+Replaces the reference's petrel S3 reader (dataset/dataset.py:98,
+da_4dvar.py:148-166) with infrastructure-neutral sources:
+
+- `LocalNpyStore`: one float32 (69, H, W) file per timestamp under a root
+  directory (`%Y-%m-%d_%H.npy`), the layout produced by `save_state`;
+- `SyntheticEra5`: deterministic, time-coherent synthetic atmosphere —
+  band-limited random per-channel fields advected zonally at
+  channel-dependent speeds plus a slowly-rotating secondary mode, expressed
+  in physical units through the channel mean/std registry. Useful for
+  end-to-end DA tests and benchmarks without data assets.
+"""
+
+from __future__ import annotations
+
+import os
+from datetime import datetime
+
+import numpy as np
+
+from vaevar_tpu import channels
+
+_FMT = "%Y-%m-%d_%H"
+
+
+def _stamp(ts) -> str:
+    if hasattr(ts, "strftime"):
+        return ts.strftime(_FMT)
+    return str(ts)
+
+
+class LocalNpyStore:
+    def __init__(self, root: str, hw=(721, 1440)):
+        self.root = root
+        self.hw = hw
+
+    def path(self, ts) -> str:
+        return os.path.join(self.root, _stamp(ts) + ".npy")
+
+    def get_state(self, ts) -> np.ndarray:
+        return np.load(self.path(ts)).astype(np.float32)
+
+    def save_state(self, ts, state: np.ndarray):
+        os.makedirs(self.root, exist_ok=True)
+        np.save(self.path(ts), state.astype(np.float32))
+
+    def has(self, ts) -> bool:
+        return os.path.exists(self.path(ts))
+
+
+def _smooth_noise(rng: np.random.Generator, hw, cutoff_frac=0.12) -> np.ndarray:
+    """Band-limited unit-variance random field."""
+    H, W = hw
+    f = rng.normal(size=(H, W))
+    F = np.fft.rfft2(f)
+    ky = np.fft.fftfreq(H)[:, None]
+    kx = np.fft.rfftfreq(W)[None, :]
+    keep = (np.abs(ky) < cutoff_frac) & (kx < cutoff_frac)
+    F = F * keep
+    g = np.fft.irfft2(F, s=(H, W))
+    return (g / (g.std() + 1e-12)).astype(np.float32)
+
+
+class SyntheticEra5:
+    """state(t) = mean + std*(a*roll(base, v_c*t) + b*roll(mode2, u_c*t))."""
+
+    def __init__(self, hw=(128, 256), seed: int = 0, amp: float = 1.0):
+        self.hw = hw
+        rng = np.random.default_rng(seed)
+        C = channels.N_CHANNELS
+        self.base = np.stack([_smooth_noise(rng, hw) for _ in range(C)])
+        self.mode2 = np.stack([_smooth_noise(rng, hw, 0.06) for _ in range(C)])
+        self.speed1 = rng.integers(1, 4, size=C)  # pixels per hour eastward
+        self.speed2 = rng.integers(-2, 3, size=C)
+        self.amp = amp
+
+    def _hours(self, ts) -> int:
+        if hasattr(ts, "to_pydatetime") or isinstance(ts, datetime) or hasattr(ts, "timestamp"):
+            epoch = datetime(2000, 1, 1)
+            t = ts.to_pydatetime() if hasattr(ts, "to_pydatetime") else ts
+            if t.tzinfo is not None:
+                t = t.replace(tzinfo=None)
+            return int((t - epoch).total_seconds() // 3600)
+        return int(ts)
+
+    def get_state(self, ts) -> np.ndarray:
+        h = self._hours(ts)
+        C = channels.N_CHANNELS
+        out = np.empty((C, *self.hw), np.float32)
+        for c in range(C):
+            f = 0.8 * np.roll(self.base[c], h * int(self.speed1[c]), axis=1)
+            f += 0.35 * np.roll(self.mode2[c], h * int(self.speed2[c]), axis=1)
+            out[c] = f
+        return (
+            channels.MEAN.reshape(-1, 1, 1)
+            + self.amp * channels.STD.reshape(-1, 1, 1) * out
+        ).astype(np.float32)

@@ -1,0 +1,134 @@
+"""Supervised forecast-model training (LpLoss / Possloss).
+
+Rebuilds the reference `basemodel` trainer (model/model.py:26-514):
+
+- Possloss: Gaussian NLL over the (mean, logvar) output halves with
+  learnable soft-clamped logvar bounds (model/model.py:160-207,95-98);
+- LpLoss: relative L2 (model/model.py:153-158);
+- one- or two-step training (second step feeds the mean back);
+- `calculate_q`: per-pixel one-step error variance — the Q-matrix estimate
+  used by the DA engine (model/model.py:469-490);
+- `multi_step_predict` rollout evaluation (model/model.py:492-514).
+
+Optimizer: optax AdamW + cosine schedule (replacing torch/timm factories,
+utils/builder.py:300-382).
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Iterable
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from vaevar_tpu import channels
+
+
+def lp_loss(pred, target):
+    B = pred.shape[0]
+    d = jnp.linalg.norm(pred.reshape(B, -1) - target.reshape(B, -1), axis=1)
+    n = jnp.linalg.norm(target.reshape(B, -1), axis=1)
+    return jnp.mean(d / n)
+
+
+def poss_loss(pred, target, max_logvar, min_logvar, inc_var_loss: bool = True):
+    """Gaussian NLL with clamped logvar; pred has 2x target channels."""
+    mean, logvar = jnp.split(pred, 2, axis=1)
+    B = pred.shape[0]
+    lv = logvar.reshape(B, -1)
+    lv = max_logvar - jax.nn.softplus(max_logvar - lv)
+    lv = min_logvar + jax.nn.softplus(lv - min_logvar)
+    lv = lv.reshape(target.shape)
+    inv_var = jnp.exp(-lv)
+    if inc_var_loss:
+        mse = jnp.mean((mean - target) ** 2 * inv_var, axis=(-1, -2, -3))
+        var = jnp.mean(lv, axis=(-1, -2, -3))
+        total = mse + var
+    else:
+        total = jnp.mean((mean - target) ** 2, axis=(-1, -2, -3))
+    total = total + 0.01 * jnp.mean(max_logvar) - 0.01 * jnp.mean(min_logvar)
+    return jnp.mean(total)
+
+
+def make_forecast_train_step(
+    model_apply: Callable,
+    loss_type: str = "Possloss",
+    lr: float = 5e-6,
+    total_steps: int = 10_000,
+    two_step: bool = False,
+    out_shape=None,  # (out_chans, H, W) needed for Possloss logvar bounds
+):
+    sched = optax.cosine_decay_schedule(lr, total_steps)
+    opt = optax.adamw(sched, b1=0.9, b2=0.9)
+
+    def init_extra():
+        if loss_type != "Possloss":
+            return {}
+        c, h, w = out_shape
+        n = c * h * w // 2
+        return {
+            "max_logvar": jnp.ones((1, n), jnp.float32) / 2.0,
+            "min_logvar": -jnp.ones((1, n), jnp.float32) * 10.0,
+        }
+
+    def loss_fn(trainable, inp, tar):
+        params = trainable["model"]
+        pred = model_apply(params, inp)
+        if loss_type == "Possloss":
+            l1 = poss_loss(
+                pred, tar[0], trainable["max_logvar"], trainable["min_logvar"]
+            )
+        else:
+            l1 = lp_loss(pred[:, : tar[0].shape[1]], tar[0])
+        if two_step and len(tar) > 1:
+            pred2 = model_apply(params, pred[:, : tar[0].shape[1]])
+            if loss_type == "Possloss":
+                l2 = poss_loss(
+                    pred2, tar[1], trainable["max_logvar"], trainable["min_logvar"]
+                )
+            else:
+                l2 = lp_loss(pred2[:, : tar[1].shape[1]], tar[1])
+            return l1 + l2
+        return l1
+
+    def init_fn(model_params):
+        trainable = {"model": model_params, **init_extra()}
+        return trainable, opt.init(trainable)
+
+    def train_step(trainable, opt_state, inp, tars):
+        loss, grads = jax.value_and_grad(loss_fn)(trainable, inp, tars)
+        updates, opt_state = opt.update(grads, opt_state, trainable)
+        trainable = optax.apply_updates(trainable, updates)
+        return trainable, opt_state, loss
+
+    return init_fn, train_step
+
+
+def calculate_q(model_apply, params, pairs: Iterable) -> np.ndarray:
+    """Per-pixel one-step forecast error variance (model/model.py:469-490).
+
+    pairs yields (inp, tar) normalized (B, 69, H, W) arrays. Returns
+    (69, H, W) mean squared error — the Q-matrix diagonal estimate.
+    """
+    acc = None
+    n = 0
+    fwd = jax.jit(lambda p, x: model_apply(p, x)[:, : channels.N_CHANNELS])
+    for inp, tar in pairs:
+        pred = fwd(params, jnp.asarray(inp))
+        sq = jnp.mean((pred - jnp.asarray(tar)) ** 2, axis=0)
+        acc = sq if acc is None else acc + sq
+        n += 1
+    return np.asarray(acc / max(n, 1))
+
+
+def multi_step_predict(model_apply, params, inp, steps: int):
+    """Normalized rollout (model/model.py:492-514): returns (steps, B, 69, H, W)."""
+    fwd = jax.jit(lambda p, x: model_apply(p, x)[:, : channels.N_CHANNELS])
+    outs = []
+    x = jnp.asarray(inp)
+    for _ in range(steps):
+        x = fwd(params, x)
+        outs.append(x)
+    return jnp.stack(outs)
