@@ -1,0 +1,157 @@
+"""Cycled variational DA runner (CLI).
+
+TPU-native equivalent of `python da_4dvar.py ...` (reference
+da_4dvar.py:28-60,1344-1347). Same knob surface; model checkpoints are
+orbax trees saved by this framework (the reference's torch .pth files are
+not distributed). Without --data_dir, a deterministic synthetic ERA5-like
+source drives the cycle (useful for benchmarks and smoke runs).
+
+Example (config of record, da_4dvar_script.sh:14):
+  python run_da.py --da_mode vae4dvar --da_win 1 --Nit 4 --obs_std 0.005 \
+      --obs_type column_random_0001 --modify_tp 2 --scale_factor 2.0 \
+      --q_type 1 --filter_coeff 0.1 \
+      --start_time "2022-01-01 00:00:00" --end_time "2023-01-01 12:00:00"
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+
+
+def arg_parser():
+    p = argparse.ArgumentParser()
+    p.add_argument("--start_time", type=str, default="2022-01-01 00:00:00")
+    p.add_argument("--end_time", type=str, default="2022-01-03 00:00:00")
+    p.add_argument("--coeff_dir", type=str, default="dataset/bq_info_lr/")
+    p.add_argument("--da_mode", type=str, default="vae4dvar",
+                   choices=["free_run", "interpolation", "sc4dvar", "vae4dvar"])
+    p.add_argument("--da_win", type=int, default=1)
+    p.add_argument("--interp_dim", type=int, default=40)
+    p.add_argument("--init_lag", type=int, default=8)
+    p.add_argument("--init_tp", type=int, default=0)
+    p.add_argument("--Nit", type=int, default=4)
+    p.add_argument("--obs_std", type=float, default=0.005)
+    p.add_argument("--obs_coeff", type=float, default=1.0)
+    p.add_argument("--filter_coeff", type=float, default=0.1)
+    p.add_argument("--obs_type", type=str, default="column_random_0001")
+    p.add_argument("--prefix", type=str, default="run")
+    p.add_argument("--q_type", type=int, default=1)
+    p.add_argument("--scale_factor", type=float, default=2.0)
+    p.add_argument("--save_interval", type=int, default=5)
+    p.add_argument("--modify_tp", type=int, default=2)
+    p.add_argument("--vae_ckpt", type=str, default=None)
+    p.add_argument("--flow_ckpt", type=str, default=None)
+    p.add_argument("--forecast_ckpt", type=str, default=None)
+    p.add_argument("--data_dir", type=str, default=None,
+                   help="LocalNpyStore root; synthetic source if omitted")
+    p.add_argument("--grid", type=str, default="721x1440")
+    p.add_argument("--solver_grid", type=str, default="128x256")
+    p.add_argument("--work_dir", type=str, default="da_cycle_results")
+    p.add_argument("--bf16", action="store_true", default=True)
+    p.add_argument("--seed", type=int, default=0)
+    return p.parse_args()
+
+
+def main():
+    args = arg_parser()
+    import jax
+    import jax.numpy as jnp
+
+    from vaevar_tpu.config import DAConfig, FLOW_140, FORECAST_025, VAE_DECODER
+    from vaevar_tpu.da.cvt import BMatrixAssets, CVTransform
+    from vaevar_tpu.da.cycler import CycledDA
+    from vaevar_tpu.da.dynamics import make_integrate
+    from vaevar_tpu.data.era5 import LocalNpyStore, SyntheticEra5
+    from vaevar_tpu.models.lgunet import LGUnet
+    from vaevar_tpu.train import checkpoint as ckpt
+
+    hw = tuple(int(v) for v in args.grid.split("x"))
+    shw = tuple(int(v) for v in args.solver_grid.split("x"))
+    dtype = jnp.bfloat16 if args.bf16 else None
+
+    cfg = DAConfig(
+        da_mode=args.da_mode,
+        da_win=args.da_win,
+        nit=args.Nit,
+        obs_std=args.obs_std,
+        obs_coeff=args.obs_coeff,
+        filter_coeff=args.filter_coeff,
+        obs_type=args.obs_type,
+        q_type=args.q_type,
+        scale_factor=args.scale_factor,
+        modify_tp=args.modify_tp,
+        interp_dim=args.interp_dim,
+        init_lag=args.init_lag,
+        init_tp=args.init_tp,
+        save_interval=args.save_interval,
+        latent_shape=(1, 32, *shw),
+        grid_hw=hw,
+        solver_hw=shw,
+    )
+
+    if args.data_dir:
+        source = LocalNpyStore(args.data_dir, hw)
+    else:
+        source = SyntheticEra5(hw=hw, seed=args.seed)
+
+    # models -------------------------------------------------------------
+    rng = jax.random.PRNGKey(args.seed)
+    dec_cfg = VAE_DECODER.replace(dtype=dtype)
+    decoder = LGUnet(dec_cfg)
+    z0 = jnp.zeros(cfg.latent_shape, jnp.float32)
+    dec_params = (
+        ckpt.restore(args.vae_ckpt) if args.vae_ckpt
+        else decoder.init(rng, z0)
+    )
+
+    flow_cfg = FLOW_140.replace(dtype=dtype)
+    flow = LGUnet(flow_cfg)
+    flow_params = (
+        ckpt.restore(args.flow_ckpt) if args.flow_ckpt
+        else flow.init(jax.random.PRNGKey(args.seed + 1),
+                       jnp.zeros((1, 69, *shw)))
+    )
+    flow_integrate = make_integrate(flow.apply, flow_params, model_hw=shw)
+
+    if args.forecast_ckpt:
+        fc_cfg = FORECAST_025.replace(dtype=dtype)
+        fc = LGUnet(fc_cfg)
+        fc_params = ckpt.restore(args.forecast_ckpt)
+        forecast_integrate = make_integrate(fc.apply, fc_params)
+    else:
+        # without a trained 0.25deg checkpoint, advance with the flow model
+        forecast_integrate = lambda x, steps, interpolation=True: flow_integrate(
+            x, steps, True
+        )
+
+    def flow_step(x):
+        return flow_integrate(x, 1, True)
+
+    name = (
+        f"{args.prefix}_stdmodify{args.modify_tp}_{args.obs_type}"
+        f"_std{args.obs_std:.3f}_win{args.da_win}_Nit{args.Nit}"
+    )
+    da = CycledDA(
+        cfg,
+        source,
+        forecast_integrate,
+        flow_step=flow_step if args.da_win > 1 else None,
+        decoder_apply=decoder.apply,
+        vae_params=dec_params,
+        cvt=CVTransform(
+            BMatrixAssets.load(args.coeff_dir, args.scale_factor)
+            if os.path.exists(os.path.join(args.coeff_dir, "len_scale.npy"))
+            else BMatrixAssets.synthetic(args.scale_factor),
+            solver_hw=shw,
+            out_hw=hw,
+        ) if args.da_mode == "sc4dvar" else None,
+        work_dir=os.path.join(args.work_dir, name),
+        seed=args.seed,
+    )
+    da.run_assimilation(args.start_time, args.end_time)
+    print("DA complete")
+
+
+if __name__ == "__main__":
+    main()

@@ -25,21 +25,25 @@ from vaevar_tpu.train.vae_trainer import (
     replicated_checksum,
 )
 
-HW = (32, 64)
+HW = (16, 32)
+NC = 17  # two variable groups keep CPU compiles fast
+import functools
 
 
+@functools.lru_cache(maxsize=1)
 def tiny_models():
-    fcfg = cfgs.tiny_config()
+    fcfg = cfgs.micro_config(img_size=HW, inchans_list=(4, 13),
+                             outchans_list=(8, 26))
     forecast = LGUnet(fcfg)
-    fx = jnp.zeros((1, 69, *HW))
+    fx = jnp.zeros((1, NC, *HW))
     fparams = forecast.init(jax.random.PRNGKey(0), fx)
     f_apply = forecast.apply
 
-    enc = cfgs.tiny_config(attn_type="relbias", lg_full_attn_first=False)
-    enc = enc.replace(outchans_list=(4, 12, 12, 12, 12, 12))
-    dec = enc.replace(
-        inchans_list=(2, 6, 6, 6, 6, 6), outchans_list=(4, 13, 13, 13, 13, 13)
+    enc = cfgs.micro_config(
+        img_size=HW, attn_type="relbias",
+        inchans_list=(4, 13), outchans_list=(4, 12),
     )
+    dec = enc.replace(inchans_list=(2, 6), outchans_list=(4, 13))
     vae = VAE(enc, dec)
     return forecast, fparams, f_apply, vae
 
@@ -69,7 +73,7 @@ class TestVAETrainer:
         )
         rng = np.random.default_rng(0)
         frames = jnp.asarray(
-            rng.normal(size=(2, 2, 69, *HW)).astype(np.float32)
+            rng.normal(size=(2, 2, NC, *HW)).astype(np.float32)
         )
         params, opt_state = init_fn(jax.random.PRNGKey(1), frames, fparams)
         step_j = jax.jit(step)
@@ -83,9 +87,9 @@ class TestVAETrainer:
 
     def test_nmc_error_sample_shape(self):
         forecast, fparams, f_apply, _ = tiny_models()
-        frames = jnp.zeros((1, 2, 69, *HW))
-        err = nmc_error_sample(frames, f_apply, fparams, (16, 32), nmc_steps=1)
-        assert err.shape == (1, 69, 16, 32)
+        frames = jnp.zeros((1, 2, NC, *HW))
+        err = nmc_error_sample(frames, f_apply, fparams, (8, 16), nmc_steps=1)
+        assert err.shape == (1, NC, 8, 16)
 
     def test_checksum(self):
         _, fparams, _, _ = tiny_models()
@@ -110,12 +114,12 @@ class TestForecastTrainer:
         forecast, fparams, f_apply, _ = tiny_models()
         init_fn, step = make_forecast_train_step(
             f_apply, "Possloss", lr=1e-4, total_steps=100,
-            out_shape=(138, *HW),
+            out_shape=(2 * NC, *HW),
         )
         trainable, opt_state = init_fn(fparams)
         rng = np.random.default_rng(0)
-        inp = jnp.asarray(rng.normal(size=(1, 69, *HW)).astype(np.float32))
-        tar = jnp.asarray(rng.normal(size=(1, 69, *HW)).astype(np.float32))
+        inp = jnp.asarray(rng.normal(size=(1, NC, *HW)).astype(np.float32))
+        tar = jnp.asarray(rng.normal(size=(1, NC, *HW)).astype(np.float32))
         step_j = jax.jit(step)
         losses = []
         for _ in range(4):
@@ -127,13 +131,14 @@ class TestForecastTrainer:
         forecast, fparams, f_apply, _ = tiny_models()
         rng = np.random.default_rng(1)
         pairs = [
-            (rng.normal(size=(1, 69, *HW)).astype(np.float32),
-             rng.normal(size=(1, 69, *HW)).astype(np.float32))
+            (rng.normal(size=(1, NC, *HW)).astype(np.float32),
+             rng.normal(size=(1, NC, *HW)).astype(np.float32))
         ]
         q = calculate_q(f_apply, fparams, pairs)
-        assert q.shape == (69, *HW) and (q >= 0).all()
-        roll = multi_step_predict(f_apply, fparams, pairs[0][0], steps=2)
-        assert roll.shape == (2, 1, 69, *HW)
+        assert q.shape == (NC, *HW) and (q >= 0).all()
+        roll = multi_step_predict(f_apply, fparams, pairs[0][0], steps=2,
+                                  n_channels=NC)
+        assert roll.shape == (2, 1, NC, *HW)
 
 
 class TestParallel:
@@ -148,7 +153,7 @@ class TestParallel:
         )
         rng = np.random.default_rng(0)
         frames = np.ascontiguousarray(
-            rng.normal(size=(2, 2, 69, *HW)).astype(np.float32)
+            rng.normal(size=(2, 2, NC, *HW)).astype(np.float32)
         )
         params, opt_state = init_fn(jax.random.PRNGKey(1), jnp.asarray(frames), fparams)
 
@@ -171,7 +176,7 @@ class TestParallel:
         mesh = pmesh.make_mesh({"sh": 2, "sw": 4}, devs)
         forecast, fparams, f_apply, _ = tiny_models()
         rng = np.random.default_rng(3)
-        x = rng.normal(size=(1, 69, *HW)).astype(np.float32)
+        x = rng.normal(size=(1, NC, *HW)).astype(np.float32)
 
         y_single = np.asarray(forecast.apply(fparams, jnp.asarray(x)))
 

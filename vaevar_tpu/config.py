@@ -166,6 +166,28 @@ VAE_DECODER = VAE_ENCODER.replace(
 )
 
 
+def micro_config(img_size=(16, 32), attn_type="rope", **overrides) -> LGUnetConfig:
+    """Minimal topology-preserving config for CPU dry runs."""
+    kw = dict(
+        img_size=img_size,
+        patch_size=(2, 2),
+        stride=(2, 2),
+        inchans_list=(4, 13, 13, 13, 13, 13),
+        outchans_list=(8, 26, 26, 26, 26, 26),
+        enc_dim=4,
+        embed_dim=16,
+        window_size=(4, 4),
+        enc_depths=(1, 1),
+        enc_heads=(1, 1),
+        lg_depths=(1,),
+        lg_heads=(1,),
+        attn_type=attn_type,
+        lg_full_attn_first=attn_type == "rope",
+    )
+    kw.update(overrides)
+    return LGUnetConfig(**kw)
+
+
 def tiny_config(
     img_size=(32, 64), attn_type="rope", lg_full_attn_first=True
 ) -> LGUnetConfig:

@@ -57,7 +57,7 @@ def lbfgs_minimize(
     def cond(carry):
         x, state, grad = carry
         it = optax.tree_utils.tree_get(state, "count")
-        gnorm = optax.tree_utils.tree_l2_norm(grad)
+        gnorm = optax.tree_utils.tree_norm(grad)
         return (it == 0) | ((it < max_iters) & (gnorm > tol))
 
     init_state = opt.init(x0)
@@ -66,6 +66,6 @@ def lbfgs_minimize(
     return LBFGSResult(
         x=x,
         value=fun(x),
-        grad_norm=optax.tree_utils.tree_l2_norm(grad),
+        grad_norm=optax.tree_utils.tree_norm(grad),
         n_iters=optax.tree_utils.tree_get(state, "count"),
     )

@@ -114,18 +114,19 @@ def calculate_q(model_apply, params, pairs: Iterable) -> np.ndarray:
     """
     acc = None
     n = 0
-    fwd = jax.jit(lambda p, x: model_apply(p, x)[:, : channels.N_CHANNELS])
+    fwd = jax.jit(lambda p, x, c: model_apply(p, x)[:, :c], static_argnums=2)
     for inp, tar in pairs:
-        pred = fwd(params, jnp.asarray(inp))
+        pred = fwd(params, jnp.asarray(inp), tar.shape[1])
         sq = jnp.mean((pred - jnp.asarray(tar)) ** 2, axis=0)
         acc = sq if acc is None else acc + sq
         n += 1
     return np.asarray(acc / max(n, 1))
 
 
-def multi_step_predict(model_apply, params, inp, steps: int):
-    """Normalized rollout (model/model.py:492-514): returns (steps, B, 69, H, W)."""
-    fwd = jax.jit(lambda p, x: model_apply(p, x)[:, : channels.N_CHANNELS])
+def multi_step_predict(model_apply, params, inp, steps: int,
+                       n_channels: int = channels.N_CHANNELS):
+    """Normalized rollout (model/model.py:492-514): returns (steps, B, C, H, W)."""
+    fwd = jax.jit(lambda p, x: model_apply(p, x)[:, :n_channels])
     outs = []
     x = jnp.asarray(inp)
     for _ in range(steps):

@@ -31,14 +31,15 @@ from vaevar_tpu.ops.interp import resize_nearest
 
 
 def nmc_error_sample(frames, fengwu_apply, fengwu_params, latent_hw,
-                     nmc_steps: int = 4):
-    """frames: (B, 5, 69, H, W) normalized. Returns (B, 69, *latent_hw)."""
+                     nmc_steps: int = 4, err_std=None):
+    """frames: (B, 5, C, H, W) normalized. Returns (B, C, *latent_hw)."""
+    C = frames.shape[2]
     pred = frames[:, 0]
     for _ in range(nmc_steps):
-        pred = jax.lax.stop_gradient(
-            fengwu_apply(fengwu_params, pred)[:, : channels.N_CHANNELS]
-        )
-    err_std = jnp.asarray(channels.ERR_STD, jnp.float32).reshape(1, -1, 1, 1)
+        pred = jax.lax.stop_gradient(fengwu_apply(fengwu_params, pred)[:, :C])
+    if err_std is None:
+        err_std = channels.ERR_STD[:C]
+    err_std = jnp.asarray(err_std, jnp.float32).reshape(1, -1, 1, 1)
     err = (frames[:, nmc_steps] - pred) / err_std
     return resize_nearest(err, latent_hw)
 
@@ -50,13 +51,15 @@ def make_vae_train_step(
     lr: float = 1e-4,
     latent_hw=(128, 256),
     nmc_steps: int = 4,
+    err_std=None,
 ):
     """Returns (init_fn, train_step). train_step is jittable/shardable."""
     opt = optax.adam(lr)
 
     def init_fn(rng, sample_frames, fengwu_params):
         err = nmc_error_sample(
-            sample_frames, fengwu_apply, fengwu_params, latent_hw, nmc_steps
+            sample_frames, fengwu_apply, fengwu_params, latent_hw, nmc_steps,
+            err_std,
         )
         params = vae.init(rng, err, jax.random.PRNGKey(0))
         return params, opt.init(params)
@@ -68,7 +71,7 @@ def make_vae_train_step(
 
     def train_step(params, opt_state, fengwu_params, frames, rng):
         err = nmc_error_sample(
-            frames, fengwu_apply, fengwu_params, latent_hw, nmc_steps
+            frames, fengwu_apply, fengwu_params, latent_hw, nmc_steps, err_std
         )
         (total, (sse, kld)), grads = jax.value_and_grad(loss_fn, has_aux=True)(
             params, err, rng
