@@ -51,7 +51,10 @@ def main():
     flow_cfg = FLOW_140.replace(dtype=dtype)
     flow = LGUnet(flow_cfg)
     flow_params = flow.init(jax.random.PRNGKey(1), jnp.zeros((1, 69, 128, 256)))
-    integrate = make_integrate(flow.apply, flow_params, model_hw=(128, 256))
+    integrate = jax.jit(
+        lambda p, x: make_integrate(flow.apply, (128, 256))(p, x, 1, True)
+    )
+    params = {"decoder": dec_params, "flow": flow_params}
 
     # synthetic cycle data (host-side, outside the timed region)
     rr = np.random.default_rng(0)
@@ -74,13 +77,14 @@ def main():
     )
     bundle = ObsBundle(xb=xb, yo=gt, H=Hm, R=R)
 
-    c, to_state, parts = cost_mod.make_vae4dvar_cost(decoder.apply, dec_params)
+    c, to_state, parts = cost_mod.make_vae4dvar_cost(decoder.apply)
     solver = VariationalSolver(c, to_state, parts, lbfgs_iters=cfg.lbfgs_iters,
                                history=cfg.lbfgs_history)
 
     def one_cycle(bundle):
-        _, xa, _ = solver.solve(z0, bundle, nit=cfg.nit, gt=None, verbose=False)
-        xb_next = integrate(xa, 1, interpolation=True)
+        _, xa, _ = solver.solve(z0, bundle, params, nit=cfg.nit, gt=None,
+                                verbose=False)
+        xb_next = integrate(params["flow"], xa)
         return xb_next
 
     # warmup (compile)

@@ -112,21 +112,19 @@ def main():
         else flow.init(jax.random.PRNGKey(args.seed + 1),
                        jnp.zeros((1, 69, *shw)))
     )
-    flow_integrate = make_integrate(flow.apply, flow_params, model_hw=shw)
+    flow_integrate = make_integrate(flow.apply, model_hw=shw)
 
     if args.forecast_ckpt:
         fc_cfg = FORECAST_025.replace(dtype=dtype)
         fc = LGUnet(fc_cfg)
-        fc_params = ckpt.restore(args.forecast_ckpt)
-        forecast_integrate = make_integrate(fc.apply, fc_params)
+        forecast_params = ckpt.restore(args.forecast_ckpt)
+        forecast_integrate = make_integrate(fc.apply)
     else:
         # without a trained 0.25deg checkpoint, advance with the flow model
-        forecast_integrate = lambda x, steps, interpolation=True: flow_integrate(
-            x, steps, True
+        forecast_params = flow_params
+        forecast_integrate = lambda p, x, steps, interpolation=True: (
+            flow_integrate(p, x, steps, True)
         )
-
-    def flow_step(x):
-        return flow_integrate(x, 1, True)
 
     name = (
         f"{args.prefix}_stdmodify{args.modify_tp}_{args.obs_type}"
@@ -136,7 +134,9 @@ def main():
         cfg,
         source,
         forecast_integrate,
-        flow_step=flow_step if args.da_win > 1 else None,
+        forecast_params=forecast_params,
+        flow_apply=flow.apply if args.da_win > 1 else None,
+        flow_params=flow_params,
         decoder_apply=decoder.apply,
         vae_params=dec_params,
         cvt=CVTransform(

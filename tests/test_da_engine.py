@@ -123,13 +123,14 @@ class TestVae4dvarSolve:
         H = jnp.asarray(obs_mod.make_obs_mask("free_0001", 1, HW, rng))
         var = obs_mod.obs_error_variance(0.005, 2)
         R = jnp.asarray(obs_mod.build_R(var, None, 1, HW))
-        c, to_state, parts = cost_mod.make_vae4dvar_cost(dec_apply, params)
+        c, to_state, parts = cost_mod.make_vae4dvar_cost(dec_apply)
         bundle = ObsBundle(xb=xb, yo=gt, H=H, R=R)
+        mp = {"decoder": params, "flow": None}
         z0 = jnp.zeros((1, 32, *HW), jnp.float32)
-        j0 = float(c(z0, bundle))
+        j0 = float(c(z0, bundle, mp))
         solver = VariationalSolver(c, to_state, parts, lbfgs_iters=8)
-        z, xa, diag = solver.solve(z0, bundle, nit=2, gt=gt, verbose=False)
-        j1 = float(c(z, bundle))
+        z, xa, diag = solver.solve(z0, bundle, mp, nit=2, gt=gt, verbose=False)
+        j1 = float(c(z, bundle, mp))
         assert j1 < j0
         # background equals analysis at z=0; J must strictly improve
         assert diag.loss_obs[-1] < diag.loss_obs[0]
@@ -149,8 +150,8 @@ class TestVae4dvarSolve:
         bundle = ObsBundle(xb=xb, yo=gt, H=H, R=R)
         w0 = jnp.zeros((69, *HW), jnp.float32)
         solver = VariationalSolver(c, to_state, parts, lbfgs_iters=5)
-        w, xa, diag = solver.solve(w0, bundle, nit=2, gt=gt, verbose=False)
-        assert float(c(w, bundle)) < float(c(w0, bundle))
+        w, xa, diag = solver.solve(w0, bundle, {}, nit=2, gt=gt, verbose=False)
+        assert float(c(w, bundle, {})) < float(c(w0, bundle, {}))
 
 
 class TestCycler:
@@ -170,7 +171,7 @@ class TestCycler:
             init_lag=1,
             **kw,
         )
-        integrate = lambda x, steps, interpolation=False: x  # persistence
+        integrate = lambda p, x, steps, interpolation=False: x  # persistence
         return CycledDA(
             cfg,
             src,

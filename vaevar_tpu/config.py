@@ -159,7 +159,8 @@ VAE_ENCODER = LGUnetConfig(
     lg_full_attn_first=False,
 )
 
-#: VAE decoder (nf_model/parameters0_old.yaml `decoder`): 32ch latent -> 69ch.
+#: VAE encoder must also use windowed LG stages (old-gen topology,
+#: networks_old/transformer.py:628-712 — no full-grid stage).
 VAE_DECODER = VAE_ENCODER.replace(
     inchans_list=(2, 6, 6, 6, 6, 6),
     outchans_list=(4, 13, 13, 13, 13, 13),

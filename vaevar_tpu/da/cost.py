@@ -7,13 +7,17 @@ vae4dvar (da_4dvar.py:1183-1208):
 sc4dvar (da_4dvar.py:1064-1101):
     J(w) = 1/2 ||w||^2 + obs_coeff * Jo(B^1/2 w + xb)
 
-The builders close over *static* objects only (model params, config);
-per-cycle data (xb, yo, H, R) travels in an `ObsBundle` argument, so one
-jit compilation serves the entire cycled run. The window rollout M_t is
-the hourly flow model applied inside the cost with rematerialized
-reverse-mode AD (da/dynamics.rollout_window). For "real" obs the predicted
-state is augmented to the 204-channel observation-level space before the
-innovation (da_4dvar.py:1196-1206).
+Builders close over *static structure* only (apply fns, config). Everything
+numeric travels as traced arguments: per-cycle data in an `ObsBundle`, model
+weights in a `params` dict ({"decoder": ..., "flow": ...}). One jit
+compilation therefore serves the entire cycled run AND weights never become
+XLA constants (closure weights trigger pathological constant-folding of
+transposes in the backward; measured ~10x compile-time inflation).
+
+The window rollout M_t is the hourly flow model applied inside the cost with
+rematerialized reverse-mode AD (da/dynamics.rollout_window). For "real" obs
+the predicted state is augmented to the 204-channel observation-level space
+before the innovation (da_4dvar.py:1196-1206).
 """
 
 from __future__ import annotations
@@ -23,7 +27,7 @@ from typing import Callable, NamedTuple
 import jax.numpy as jnp
 
 from vaevar_tpu import channels
-from vaevar_tpu.da.dynamics import rollout_window
+from vaevar_tpu.da.dynamics import make_integrate, rollout_window
 from vaevar_tpu.ops.interp import augment_levels, resize_nearest
 
 
@@ -43,19 +47,31 @@ def obs_term(x_pred, bundle: ObsBundle, interp_matrix=None):
     return 0.5 * jnp.sum(bundle.H * (x_pred - bundle.yo) ** 2 / bundle.R)
 
 
+def _window_predict(x0, flow_apply, flow_hw, da_win, params):
+    if da_win == 1 or flow_apply is None:
+        return x0[None]
+    integrate = make_integrate(flow_apply, flow_hw)
+    flow_params = params["flow"]
+
+    def flow_step(x):
+        return integrate(flow_params, x, 1, interpolation=True)
+
+    return rollout_window(x0, flow_step, da_win)
+
+
 def make_vae4dvar_cost(
     decoder_apply: Callable,
-    vae_params,
-    flow_step: Callable | None = None,
+    flow_apply: Callable | None = None,
+    flow_hw=(128, 256),
     da_win: int = 1,
     obs_coeff: float = 1.0,
     interp_matrix=None,
     err_std=None,
 ):
-    """Returns (cost, decode_to_state, cost_parts), each (x, bundle) -> ...
+    """Returns (cost, decode_to_state, cost_parts): fns of (x, bundle, params).
 
-    decoder_apply(params, z) -> (1, 69, h', w') raw decoder output at the
-    latent grid; it is nearest-upsampled to xb's grid, scaled by
+    decoder_apply(params["decoder"], z) -> (1, 69, h', w') raw decoder output
+    at the latent grid; nearest-upsampled to xb's grid, scaled by
     err_std*model_std and added to xb (da_4dvar.py:1185-1188).
     """
     err = jnp.asarray(
@@ -63,54 +79,57 @@ def make_vae4dvar_cost(
     ).reshape(-1, 1, 1)
     mstd = jnp.asarray(channels.STD, jnp.float32).reshape(-1, 1, 1)
 
-    def decode_to_state(z, bundle: ObsBundle):
-        d = decoder_apply(vae_params, z)[0]  # (69, h', w')
+    def decode_to_state(z, bundle: ObsBundle, params):
+        d = decoder_apply(params["decoder"], z)[0]  # (69, h', w')
         d = resize_nearest(d, bundle.xb.shape[-2:])
         return bundle.xb + d * err * mstd
 
-    def _predict(z, bundle):
-        x0 = decode_to_state(z, bundle)
-        if da_win > 1:
-            return rollout_window(x0, flow_step, da_win)
-        return x0[None]
+    def _predict(z, bundle, params):
+        x0 = decode_to_state(z, bundle, params)
+        return _window_predict(x0, flow_apply, flow_hw, da_win, params)
 
-    def cost(z, bundle: ObsBundle):
+    def cost(z, bundle: ObsBundle, params):
         return 0.5 * jnp.sum(z**2) + obs_coeff * obs_term(
-            _predict(z, bundle), bundle, interp_matrix
+            _predict(z, bundle, params), bundle, interp_matrix
         )
 
-    def cost_parts(z, bundle: ObsBundle):
-        return 0.5 * jnp.sum(z**2), obs_term(_predict(z, bundle), bundle,
-                                             interp_matrix)
+    def cost_parts(z, bundle: ObsBundle, params):
+        return 0.5 * jnp.sum(z**2), obs_term(
+            _predict(z, bundle, params), bundle, interp_matrix
+        )
 
     return cost, decode_to_state, cost_parts
 
 
 def make_sc4dvar_cost(
     transform: Callable,
-    flow_step: Callable | None = None,
+    flow_apply: Callable | None = None,
+    flow_hw=(128, 256),
     da_win: int = 1,
     obs_coeff: float = 1.0,
     interp_matrix=None,
 ):
-    """Returns (cost, to_state, cost_parts), each (w, bundle) -> ..."""
+    """Returns (cost, to_state, cost_parts): fns of (w, bundle, params).
 
-    def to_state(w, bundle: ObsBundle):
+    `transform` is the CVT B^1/2 (static linear tables, no trainable params,
+    so closing over them is fine — they are never transposed in matmuls)."""
+
+    def to_state(w, bundle: ObsBundle, params):
+        del params
         return transform(w, bundle.xb)
 
-    def _predict(w, bundle):
-        x0 = to_state(w, bundle)
-        if da_win > 1:
-            return rollout_window(x0, flow_step, da_win)
-        return x0[None]
+    def _predict(w, bundle, params):
+        x0 = to_state(w, bundle, params)
+        return _window_predict(x0, flow_apply, flow_hw, da_win, params)
 
-    def cost(w, bundle: ObsBundle):
+    def cost(w, bundle: ObsBundle, params):
         return 0.5 * jnp.sum(w**2) + obs_coeff * obs_term(
-            _predict(w, bundle), bundle, interp_matrix
+            _predict(w, bundle, params), bundle, interp_matrix
         )
 
-    def cost_parts(w, bundle: ObsBundle):
-        return 0.5 * jnp.sum(w**2), obs_term(_predict(w, bundle), bundle,
-                                             interp_matrix)
+    def cost_parts(w, bundle: ObsBundle, params):
+        return 0.5 * jnp.sum(w**2), obs_term(
+            _predict(w, bundle, params), bundle, interp_matrix
+        )
 
     return cost, to_state, cost_parts

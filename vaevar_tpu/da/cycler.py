@@ -15,6 +15,7 @@ import time
 from dataclasses import dataclass, field
 from typing import Callable, Optional
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 import pandas as pd
@@ -36,8 +37,10 @@ _METRIC_KEYS = ("bg_wrmse", "ana_wrmse", "bg_mse", "ana_mse", "bg_bias", "ana_bi
 class CycledDA:
     cfg: DAConfig
     state_source: object  # .get_state(ts) -> (69, H, W) physical
-    forecast_integrate: Callable  # integrate(x, steps) on analysis grid
-    flow_step: Optional[Callable] = None  # hourly step for 4D-Var windows
+    forecast_integrate: Callable  # integrate(params, x, steps) on grid
+    forecast_params: object = None
+    flow_apply: Optional[Callable] = None  # hourly model for 4D-Var windows
+    flow_params: object = None
     decoder_apply: Optional[Callable] = None  # vae4dvar decoder fn
     vae_params: object = None
     cvt: Optional[Callable] = None  # sc4dvar transform(u, xb)
@@ -59,6 +62,11 @@ class CycledDA:
         self.R = obs_mod.build_R(obs_var, q, self.cfg.da_win, hw)
         self._load_metrics()
         self._solver = self._build_solver()
+        self._params = {"decoder": self.vae_params, "flow": self.flow_params}
+        # jitted 6h advance; params traced so checkpoint swaps don't recompile
+        self._advance = jax.jit(
+            lambda p, x: self.forecast_integrate(p, x, 1, True),
+        )
 
     def _build_solver(self):
         cfg = self.cfg
@@ -66,8 +74,8 @@ class CycledDA:
             assert self.decoder_apply is not None
             c, to_state, parts = cost_mod.make_vae4dvar_cost(
                 self.decoder_apply,
-                self.vae_params,
-                self.flow_step,
+                self.flow_apply,
+                flow_hw=cfg.solver_hw,
                 da_win=cfg.da_win,
                 obs_coeff=cfg.obs_coeff,
             )
@@ -78,8 +86,8 @@ class CycledDA:
         if cfg.da_mode == "sc4dvar":
             assert self.cvt is not None
             c, to_state, parts = cost_mod.make_sc4dvar_cost(
-                self.cvt, self.flow_step, da_win=cfg.da_win,
-                obs_coeff=cfg.obs_coeff,
+                self.cvt, self.flow_apply, flow_hw=cfg.solver_hw,
+                da_win=cfg.da_win, obs_coeff=cfg.obs_coeff,
             )
             # reference uses max_iter=5 per segment for sc4dvar
             # (da_4dvar.py:1119)
@@ -123,7 +131,9 @@ class CycledDA:
             x0 = jnp.asarray(
                 self.state_source.get_state(start_time - cfg.init_lag * CYCLE)
             )
-            return self.forecast_integrate(x0, cfg.init_lag)
+            return self.forecast_integrate(
+                self.forecast_params, x0, cfg.init_lag, True
+            )
         if cfg.init_tp == 1:
             return jnp.asarray(
                 self.state_source.get_state(start_time - cfg.init_lag * CYCLE)
@@ -194,14 +204,14 @@ class CycledDA:
             bundle = ObsBundle(xb=xb, yo=yo, H=H, R=R)
             z0 = jnp.zeros(cfg.latent_shape, jnp.float32)
             _, xa, diag = self._solver.solve(
-                z0, bundle, nit=cfg.nit, gt=gt,
+                z0, bundle, self._params, nit=cfg.nit, gt=gt,
                 verbose=self.verbose, name="vae4dvar",
             )
         elif mode == "sc4dvar":
             bundle = ObsBundle(xb=xb, yo=yo, H=H, R=R)
             w0 = jnp.zeros((channels.N_CHANNELS, *cfg.solver_hw), jnp.float32)
             _, xa, diag = self._solver.solve(
-                w0, bundle, nit=cfg.nit, gt=gt,
+                w0, bundle, self._params, nit=cfg.nit, gt=gt,
                 verbose=self.verbose, name="sc4dvar",
             )
         else:
@@ -230,7 +240,7 @@ class CycledDA:
             yo, H, R, gt = self.get_obs_info(current_time)
             xa = self.one_step_da(gt, xb, yo, H, R)
             self.save_eval_result()
-            xb = self.forecast_integrate(xa, 1)
+            xb = self._advance(self.forecast_params, xa)
             current_time = current_time + CYCLE
             if epoch % self.cfg.save_interval == 0:
                 self.save_ckpt(current_time, xb)

@@ -40,29 +40,29 @@ class VariationalSolver:
 
     def __init__(
         self,
-        cost: Callable,  # (x, bundle) -> scalar
-        to_state: Callable,  # (x, bundle) -> (69, H, W)
-        cost_parts: Callable,  # (x, bundle) -> (jb, jo)
+        cost: Callable,  # (x, bundle, params) -> scalar
+        to_state: Callable,  # (x, bundle, params) -> (69, H, W)
+        cost_parts: Callable,  # (x, bundle, params) -> (jb, jo)
         lbfgs_iters: int = 10,
         history: int = 10,
     ):
         self._mean = jnp.asarray(channels.MEAN, jnp.float32).reshape(-1, 1, 1)
         self._std = jnp.asarray(channels.STD, jnp.float32).reshape(-1, 1, 1)
 
-        def segment(x, bundle):
+        def segment(x, bundle, params):
             return lbfgs_minimize(
-                lambda q: cost(q, bundle), x, max_iters=lbfgs_iters,
+                lambda q: cost(q, bundle, params), x, max_iters=lbfgs_iters,
                 history=history,
             ).x
 
-        def diagnostics(x, bundle, gt0):
-            xhat_n = (to_state(x, bundle) - self._mean) / self._std
+        def diagnostics(x, bundle, params, gt0):
+            xhat_n = (to_state(x, bundle, params) - self._mean) / self._std
             gt_n = (gt0 - self._mean) / self._std
             wrmse = M.weighted_rmse(xhat_n[None], gt_n[None]) * jnp.asarray(
                 channels.STD
             )
             bias = M.weighted_bias((xhat_n - gt_n)[None]) * jnp.asarray(channels.STD)
-            jb, jo = cost_parts(x, bundle)
+            jb, jo = cost_parts(x, bundle, params)
             return wrmse, bias, jb, jo
 
         self.segment = jax.jit(segment)
@@ -73,17 +73,19 @@ class VariationalSolver:
         self,
         x0,
         bundle: ObsBundle,
+        params=None,
         nit: int = 4,
         gt=None,
         verbose: bool = True,
         name: str = "da",
     ):
+        params = {} if params is None else params
         diag = SolveDiagnostics()
         t0 = time.time()
         x = x0
         for kk in range(nit + 1):
             if gt is not None:
-                wrmse, bias, jb, jo = self.diagnostics(x, bundle, gt[0])
+                wrmse, bias, jb, jo = self.diagnostics(x, bundle, params, gt[0])
                 diag.wrmse.append(np.asarray(wrmse))
                 diag.bias.append(np.asarray(bias))
                 diag.loss_reg.append(float(jb))
@@ -97,6 +99,6 @@ class VariationalSolver:
                         flush=True,
                     )
             if kk < nit:
-                x = self.segment(x, bundle)
+                x = self.segment(x, bundle, params)
         diag.seconds = time.time() - t0
-        return x, self.to_state(x, bundle), diag
+        return x, self.to_state(x, bundle, params), diag

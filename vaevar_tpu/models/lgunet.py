@@ -12,9 +12,15 @@ at the coarse resolution. Behavioral reference:
   SwinTransformerBlock with relative-position-bias + optional LoRA q rank
   (networks_old/utils/swinblock.py:64-309).
 
-TPU-first choices: NHWC layout end to end, static numpy masks / RoPE tables
-baked at trace time, optional `jax.checkpoint` per block, dense-or-flash
-attention dispatch on window token count, bf16 compute with f32 params.
+TPU-first choices:
+- NHWC layout end to end; static numpy masks / RoPE tables baked at trace
+  time; bf16 compute with f32 params;
+- `nn.scan` over block pairs and `nn.vmap` over the 5 identical variable
+  groups: the traced graph stays small (fast XLA compiles) and parameters
+  stack along a leading axis;
+- optional `jax.checkpoint` per scanned pair (activation recompute);
+- dense-or-flash attention dispatch on window token count (the 0.25deg
+  full-grid LG stage uses O(N) flash attention with a custom VJP).
 
 Dropout / drop-path are zero in every shipped reference config and are not
 implemented; modules are deterministic.
@@ -22,7 +28,7 @@ implemented; modules are deterministic.
 
 from __future__ import annotations
 
-from typing import Any, Sequence
+from typing import Any
 
 import flax.linen as nn
 import jax
@@ -92,7 +98,8 @@ class WindowAttention(nn.Module):
         self.qkv = _dense(self.dim * 3, name="qkv", dtype=self.dtype)
         self.proj = _dense(self.dim, name="proj", dtype=self.dtype)
         if self.lora_rank > 0:
-            self.qA = _dense(self.lora_rank, name="qA", use_bias=False, dtype=self.dtype)
+            self.qA = _dense(self.lora_rank, name="qA", use_bias=False,
+                             dtype=self.dtype)
             self.qB = nn.Dense(
                 self.dim,
                 name="qB",
@@ -105,15 +112,20 @@ class WindowAttention(nn.Module):
             self._rope_tables = rope_ops.rope2_tables(self._win, head_dim)
             neg = -np.inf
         else:
-            self.rel_bias_table = self.param(
-                "rel_bias_table",
-                _trunc02,
-                ((2 * wh - 1) * (2 * ww - 1), self.num_heads),
-            )
-            self._rel_index = _relative_position_index(wh, ww).reshape(-1)
+            T = (2 * wh - 1) * (2 * ww - 1)
+            self.rel_bias_table = self.param("rel_bias_table", _trunc02,
+                                             (T, self.num_heads))
+            idx = _relative_position_index(wh, ww).reshape(-1)
+            # one-hot matmul instead of gather: a table gather inside an
+            # nn.scan'd stack lowers to a scatter in the backward that runs
+            # ~500x slower than the equivalent (N^2, T) x (T, h) matmul
+            onehot = np.zeros((idx.shape[0], T), np.float32)
+            onehot[np.arange(idx.shape[0]), idx] = 1.0
+            self._rel_onehot = onehot
             # old-gen uses -100 rather than -inf (swinblock.py:258)
             neg = -100.0
-        self._mask = win_ops.swin_attention_mask(H, W, self._win, self._shift, neg=neg)
+        self._mask = win_ops.swin_attention_mask(H, W, self._win, self._shift,
+                                                 neg=neg)
 
     def __call__(self, x):
         B, H, W, C = x.shape
@@ -147,7 +159,10 @@ class WindowAttention(nn.Module):
             logits = jnp.einsum(
                 "bhnd,bhmd->bhnm", q, k, preferred_element_type=jnp.float32
             )
-            bias = self.rel_bias_table[self._rel_index].reshape(N, N, h)
+            bias = jnp.einsum(
+                "nt,th->nh", jnp.asarray(self._rel_onehot),
+                self.rel_bias_table.astype(jnp.float32),
+            ).reshape(N, N, h)
             logits = logits + bias.transpose(2, 0, 1)[None]
             if self._mask is not None:
                 nW = self._mask.shape[0]
@@ -206,42 +221,90 @@ class Block(nn.Module):
         )
         x = x + attn(nn.LayerNorm(epsilon=1e-6, name="norm1")(x))
         y = nn.LayerNorm(epsilon=1e-6, name="norm2")(x)
-        x = x + Mlp(self.dim, int(self.dim * self.mlp_ratio), self.dtype, name="mlp")(y)
+        x = x + Mlp(self.dim, int(self.dim * self.mlp_ratio), self.dtype,
+                    name="mlp")(y)
         return x
 
 
-def _block_cls(remat: bool):
-    return nn.remat(Block) if remat else Block
+class _BlockPair(nn.Module):
+    """Unshifted block followed by a shifted block (scan body)."""
+
+    kw: dict
+
+    @nn.compact
+    def __call__(self, x, _):
+        kw = dict(self.kw)
+        window = kw["window_size"]
+        x = Block(**kw, shift_size=(0, 0), name="b0")(x)
+        x = Block(**kw, shift_size=(window[0] // 2, window[1] // 2),
+                  name="b1")(x)
+        return x, None
 
 
-def _make_blocks(cfg: LGUnetConfig, dim, heads, depth, resolution, window, prefix):
-    """Blocks with alternating shift (even: none, odd: window//2)."""
-    cls = _block_cls(cfg.remat)
-    blocks = []
-    for i in range(depth):
-        shift = (0, 0) if i % 2 == 0 else (window[0] // 2, window[1] // 2)
-        blk = cls(
-            dim=dim,
-            num_heads=heads,
-            window_size=window,
-            shift_size=shift,
-            resolution=resolution,
+class _BlockOne(nn.Module):
+    """Single unshifted block (scan body for the full-grid LG stage)."""
+
+    kw: dict
+
+    @nn.compact
+    def __call__(self, x, _):
+        x = Block(**self.kw, shift_size=(0, 0), name="b")(x)
+        return x, None
+
+
+class BlockStack(nn.Module):
+    """`depth` blocks with alternating shift, compiled as nn.scan over pairs.
+
+    Scanning keeps the traced graph one-pair deep regardless of depth —
+    critical for XLA compile time at 12+ LG blocks — with params stacked
+    along the scan axis. `shifted=False` scans single unshifted blocks.
+    """
+
+    cfg: LGUnetConfig
+    dim: int
+    num_heads: int
+    depth: int
+    resolution: tuple[int, int]
+    window: tuple[int, int]
+    shifted: bool = True
+
+    @nn.compact
+    def __call__(self, x):
+        cfg = self.cfg
+        kw = dict(
+            dim=self.dim,
+            num_heads=self.num_heads,
+            window_size=self.window,
+            resolution=self.resolution,
             attn_type=cfg.attn_type,
             lora_rank=cfg.lora_rank,
             mlp_ratio=cfg.mlp_ratio,
             dtype=cfg.dtype,
             flash_min_seq=cfg.flash_min_seq,
-            name=f"{prefix}_blk{i}",
         )
-        blocks.append(blk)
-    return blocks
-
-
-def _apply_blocks(blocks, x, remat: bool):
-    del remat  # remat is baked into the block class
-    for blk in blocks:
-        x = blk(x)
-    return x
+        if self.shifted and self.depth % 2 == 0:
+            body, length = _BlockPair, self.depth // 2
+        elif not self.shifted:
+            body, length = _BlockOne, self.depth
+        else:  # odd shifted depth: unscanned fallback
+            for i in range(self.depth):
+                shift = (0, 0) if i % 2 == 0 else (
+                    self.window[0] // 2, self.window[1] // 2)
+                x = Block(**kw, shift_size=shift, name=f"blk{i}")(x)
+            return x
+        if cfg.remat:
+            body = nn.remat(body, prevent_cse=False)
+        if length == 1:  # no scan machinery for a single body
+            x, _ = body(kw, name="scan")(x, None)
+            return x
+        scanned = nn.scan(
+            body,
+            variable_axes={"params": 0},
+            split_rngs={"params": True},
+            length=length,
+        )
+        x, _ = scanned(kw, name="scan")(x, None)
+        return x
 
 
 class PatchMerging(nn.Module):
@@ -279,13 +342,11 @@ class GroupEncoder(nn.Module):
     """Per-variable-group hierarchical encoder (Transformer_Encoder)."""
 
     cfg: LGUnetConfig
-    in_chans: int
 
     @nn.compact
     def __call__(self, x):
         cfg = self.cfg
         pr = cfg.patches_resolution
-        # patch embed: conv k=patch_size s=stride, then flatten + abs pos emb
         x = nn.Conv(
             cfg.enc_dim,
             kernel_size=cfg.patch_size,
@@ -304,20 +365,20 @@ class GroupEncoder(nn.Module):
             res = (pr[0] // 2**i, pr[1] // 2**i)
             if i > 0:
                 x = PatchMerging(dim // 2, name=f"merge{i}")(x)
-            blocks = _make_blocks(
+            x = BlockStack(
                 cfg, dim, cfg.enc_heads[i], cfg.enc_depths[i], res,
-                cfg.window_size, f"enc{i}",
-            )
-            x = _apply_blocks(blocks, x, cfg.remat)
+                cfg.window_size, name=f"enc{i}",
+            )(x)
             downsamples.append(x)
         x = nn.LayerNorm(epsilon=1e-6, name="norm")(x)
         return x, downsamples
 
 
 class GroupDecoder(nn.Module):
-    """Per-variable-group hierarchical decoder with U-Net skips."""
+    """Per-variable-group hierarchical decoder with U-Net skips + conv head."""
 
     cfg: LGUnetConfig
+    out_chans: int
 
     @nn.compact
     def __call__(self, x, downsamples):
@@ -330,14 +391,21 @@ class GroupDecoder(nn.Module):
             skip = downsamples[L - 1 - i]
             x = jnp.concatenate([x, skip], axis=-1)
             x = _dense(dim, name=f"concat_back{i}", dtype=cfg.dtype)(x)
-            blocks = _make_blocks(
+            x = BlockStack(
                 cfg, dim, cfg.enc_heads[L - 1 - i], cfg.enc_depths[L - 1 - i],
-                res, cfg.window_size, f"dec{i}",
-            )
-            x = _apply_blocks(blocks, x, cfg.remat)
+                res, cfg.window_size, name=f"dec{i}",
+            )(x)
             if i < L - 1:
                 x = PatchExpand(dim, name=f"expand{i}")(x)
-        return nn.LayerNorm(epsilon=1e-6, name="norm_up")(x)
+        x = nn.LayerNorm(epsilon=1e-6, name="norm_up")(x)
+        return nn.ConvTranspose(
+            self.out_chans,
+            kernel_size=cfg.patch_size,
+            strides=cfg.stride,
+            padding="VALID",
+            name="head",
+            dtype=cfg.dtype,
+        )(x)
 
 
 class LGStack(nn.Module):
@@ -352,42 +420,34 @@ class LGStack(nn.Module):
         pos = self.param("pos_embed", _trunc02, (1, Hg, Wg, cfg.embed_dim))
         x = x + pos
         for li, (depth, heads) in enumerate(zip(cfg.lg_depths, cfg.lg_heads)):
-            if li == 0 and cfg.lg_full_attn_first:
-                window = (Hg, Wg)  # full-grid attention, never shifted
-                cls = _block_cls(cfg.remat)
-                blocks = []
-                for i in range(depth):
-                    blocks.append(
-                        cls(
-                            dim=cfg.embed_dim,
-                            num_heads=heads,
-                            window_size=window,
-                            shift_size=(0, 0),
-                            resolution=(Hg, Wg),
-                            attn_type=cfg.attn_type,
-                            lora_rank=cfg.lora_rank,
-                            mlp_ratio=cfg.mlp_ratio,
-                            dtype=cfg.dtype,
-                            flash_min_seq=cfg.flash_min_seq,
-                            name=f"lg{li}_blk{i}",
-                        )
-                    )
-            else:
-                blocks = _make_blocks(
-                    cfg, cfg.embed_dim, heads, depth, (Hg, Wg),
-                    cfg.window_size, f"lg{li}",
-                )
-            x = _apply_blocks(blocks, x, cfg.remat)
+            full = li == 0 and cfg.lg_full_attn_first
+            x = BlockStack(
+                cfg,
+                cfg.embed_dim,
+                heads,
+                depth,
+                (Hg, Wg),
+                (Hg, Wg) if full else cfg.window_size,
+                shifted=not full,
+                name=f"lg{li}",
+            )(x)
         return x
 
 
+def _uniform_groups(chans: tuple[int, ...]) -> bool:
+    return len(chans) > 2 and len(set(chans[1:])) == 1
+
+
 class LGUnet(nn.Module):
-    """Full backbone. Input (B, C_in, H, W) -> output (B, 2*C_out', H, W).
+    """Full backbone. Input (B, C_in, H, W) -> output (B, C_out, H, W).
 
     Output layout matches the reference Dec_net (LGUnet_all.py:624-650):
     concat of per-group first-half channels ("mean"), then per-group
     second-half channels ("std"). For even per-group channel counts the
     first `sum(outchans)//2` channels are the mean forecast.
+
+    The 5 identical upper-air groups run under one nn.vmap (stacked params,
+    one traced program); group 0 (surface) runs standalone.
     """
 
     cfg: LGUnetConfig
@@ -399,40 +459,84 @@ class LGUnet(nn.Module):
         if cfg.dtype is not None:
             x = x.astype(cfg.dtype)
 
-        # --- Enc_net: per-group encoders + linear fuse
+        vmap_groups = _uniform_groups(cfg.inchans_list) and _uniform_groups(
+            cfg.outchans_list
+        )
         splits = np.cumsum(cfg.inchans_list)[:-1]
         groups = jnp.split(x, splits, axis=-1)
-        feats, skips = [], []
-        for gi, g in enumerate(groups):
-            f, ds = GroupEncoder(cfg, cfg.inchans_list[gi], name=f"enc_g{gi}")(g)
-            feats.append(f)
-            skips.append(ds)
-        fused = _dense(cfg.embed_dim, name="enc_proj", dtype=cfg.dtype)(
-            jnp.concatenate(feats, axis=-1)
-        )
+
+        # --- Enc_net: per-group encoders + linear fuse
+        if vmap_groups:
+            f0, ds0 = GroupEncoder(cfg, name="enc_g0")(groups[0])
+            xs = jnp.stack(groups[1:], axis=0)  # (G-1, B, H, W, c)
+            VEnc = nn.vmap(
+                GroupEncoder,
+                in_axes=0,
+                out_axes=0,
+                variable_axes={"params": 0},
+                split_rngs={"params": True},
+            )
+            fr, dsr = VEnc(cfg, name="enc_gs")(xs)  # (G-1, B, h, w, C), list
+            G1 = len(cfg.inchans_list) - 1
+            fr_cat = jnp.moveaxis(fr, 0, -2).reshape(
+                *fr.shape[1:-1], G1 * fr.shape[-1]
+            )
+            fused_in = jnp.concatenate([f0, fr_cat], axis=-1)
+        else:
+            feats, skips = [], []
+            for gi, g in enumerate(groups):
+                f, ds = GroupEncoder(cfg, name=f"enc_g{gi}")(g)
+                feats.append(f)
+                skips.append(ds)
+            fused_in = jnp.concatenate(feats, axis=-1)
+
+        fused = _dense(cfg.embed_dim, name="enc_proj", dtype=cfg.dtype)(fused_in)
 
         # --- LG_net at coarse resolution
         out = LGStack(cfg, name="lg")(fused)
 
-        # --- Dec_net: linear proj -> split per group -> decoders -> conv heads
+        # --- Dec_net: linear proj -> split per group -> decoders -> heads
         L = len(cfg.enc_depths)
         gdim = cfg.enc_dim * 2 ** (L - 1)
         out = _dense(gdim * cfg.n_groups, name="dec_proj", dtype=cfg.dtype)(out)
         parts = jnp.split(out, cfg.n_groups, axis=-1)
-        means, stds = [], []
-        for gi, p in enumerate(parts):
-            d = GroupDecoder(cfg, name=f"dec_g{gi}")(p, skips[gi])
-            head = nn.ConvTranspose(
-                cfg.outchans_list[gi],
-                kernel_size=cfg.patch_size,
-                strides=cfg.stride,
-                padding="VALID",
-                name=f"head_g{gi}",
-                dtype=cfg.dtype,
-            )(d)
-            c = cfg.outchans_list[gi]
-            means.append(head[..., : c // 2])
-            stds.append(head[..., c // 2 :])
-        y = jnp.concatenate(means + stds, axis=-1)
-        y = jnp.transpose(y, (0, 3, 1, 2)).astype(jnp.float32)  # NHWC -> NCHW
-        return y
+
+        if vmap_groups:
+            c0 = cfg.outchans_list[0]
+            c1 = cfg.outchans_list[1]
+            head0 = GroupDecoder(cfg, c0, name="dec_g0")(parts[0], ds0)
+            prest = jnp.stack(parts[1:], axis=0)
+            VDec = nn.vmap(
+                GroupDecoder,
+                in_axes=0,
+                out_axes=0,
+                variable_axes={"params": 0},
+                split_rngs={"params": True},
+            )
+            heads = VDec(cfg, c1, name="dec_gs")(prest, dsr)  # (G-1,B,H,W,c1)
+            G1 = cfg.n_groups - 1
+
+            def flat(t):  # (G-1, B, H, W, c) -> (B, H, W, (G-1)*c)
+                return jnp.moveaxis(t, 0, -2).reshape(
+                    *t.shape[1:-1], G1 * t.shape[-1]
+                )
+
+            mean = jnp.concatenate(
+                [head0[..., : c0 // 2], flat(heads[..., : c1 // 2])], axis=-1
+            )
+            std = jnp.concatenate(
+                [head0[..., c0 // 2 :], flat(heads[..., c1 // 2 :])], axis=-1
+            )
+        else:
+            means, stds = [], []
+            for gi, p in enumerate(parts):
+                head = GroupDecoder(cfg, cfg.outchans_list[gi],
+                                    name=f"dec_g{gi}")(p, skips[gi])
+                c = cfg.outchans_list[gi]
+                means.append(head[..., : c // 2])
+                stds.append(head[..., c // 2 :])
+            mean = jnp.concatenate(means, axis=-1)
+            std = jnp.concatenate(stds, axis=-1)
+
+        y = jnp.concatenate([mean, std], axis=-1)
+        return jnp.transpose(y, (0, 3, 1, 2)).astype(jnp.float32)  # -> NCHW

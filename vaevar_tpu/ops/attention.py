@@ -98,5 +98,8 @@ def window_attention_core(q, k, v, mask=None, flash_min_seq: int = 4096):
 
         if pallas_attn.available():
             return pallas_attn.flash_attention(q, k, v)
-        return flash_attention(q, k, v)
+        # custom-VJP flash: O(N) memory in forward AND backward
+        from vaevar_tpu.ops.flash import flash_attention as flash_vjp
+
+        return flash_vjp(q, k, v)
     return dense_attention(q, k, v, mask)
