@@ -42,15 +42,18 @@ def main():
     HW = cfg.grid_hw  # (721, 1440)
     dtype = jnp.bfloat16
 
-    rng = jax.random.PRNGKey(0)
+    from vaevar_tpu.utils.fast_init import fast_init
+
     dec_cfg = VAE_DECODER.replace(dtype=dtype)
     decoder = LGUnet(dec_cfg)
     z0 = jnp.zeros(cfg.latent_shape, jnp.float32)
-    dec_params = decoder.init(rng, z0)
+    dec_params = jax.device_put(fast_init(decoder, z0, seed=0))
 
     flow_cfg = FLOW_140.replace(dtype=dtype)
     flow = LGUnet(flow_cfg)
-    flow_params = flow.init(jax.random.PRNGKey(1), jnp.zeros((1, 69, 128, 256)))
+    flow_params = jax.device_put(
+        fast_init(flow, jnp.zeros((1, 69, 128, 256)), seed=1)
+    )
     integrate = jax.jit(
         lambda p, x: make_integrate(flow.apply, (128, 256))(p, x, 1, True)
     )

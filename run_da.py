@@ -35,6 +35,12 @@ def arg_parser():
     p.add_argument("--obs_coeff", type=float, default=1.0)
     p.add_argument("--filter_coeff", type=float, default=0.1)
     p.add_argument("--obs_type", type=str, default="column_random_0001")
+    p.add_argument("--use_eval", action="store_true",
+                   help="hold out obs cells and report obs-space error")
+    p.add_argument("--reports_dir", type=str, default=None,
+                   help="station-report JSON dir for real_* obs types; "
+                        "synthetic station network if omitted")
+    p.add_argument("--n_stations", type=int, default=2000)
     p.add_argument("--prefix", type=str, default="run")
     p.add_argument("--q_type", type=int, default=1)
     p.add_argument("--scale_factor", type=float, default=2.0)
@@ -49,6 +55,9 @@ def arg_parser():
     p.add_argument("--solver_grid", type=str, default="128x256")
     p.add_argument("--work_dir", type=str, default="da_cycle_results")
     p.add_argument("--bf16", action="store_true", default=True)
+    p.add_argument("--fast_init", action="store_true",
+                   help="materialize random params via eval_shape + host "
+                        "RNG (seconds, not minutes) when no ckpt is given")
     p.add_argument("--seed", type=int, default=0)
     return p.parse_args()
 
@@ -57,6 +66,10 @@ def main():
     args = arg_parser()
     import jax
     import jax.numpy as jnp
+
+    from vaevar_tpu.utils import compile_cache
+
+    compile_cache.enable()
 
     from vaevar_tpu.config import DAConfig, FLOW_140, FORECAST_025, VAE_DECODER
     from vaevar_tpu.da.cvt import BMatrixAssets, CVTransform
@@ -70,6 +83,24 @@ def main():
     shw = tuple(int(v) for v in args.solver_grid.split("x"))
     dtype = jnp.bfloat16 if args.bf16 else None
 
+    # the stock 1.4deg configs are built for 128x256; re-target them when a
+    # different solver grid is requested (smoke runs at e.g. 64x128)
+    def fit_grid(model_cfg, grid):
+        c = model_cfg.replace(img_size=grid)
+        coarse = (grid[0] // c.stride[0] // 4, grid[1] // c.stride[1] // 4)
+        if min(coarse) < 1 or any(
+            g % (s * 4 * w) for g, s, w in
+            zip(grid, c.stride, c.window_size)
+        ):
+            raise SystemExit(
+                f"--solver_grid {grid[0]}x{grid[1]} incompatible with model "
+                f"stride {c.stride} x4 downsampling and window "
+                f"{c.window_size}; use multiples of "
+                f"({c.stride[0] * 4 * c.window_size[0]}, "
+                f"{c.stride[1] * 4 * c.window_size[1]})"
+            )
+        return c
+
     cfg = DAConfig(
         da_mode=args.da_mode,
         da_win=args.da_win,
@@ -78,6 +109,7 @@ def main():
         obs_coeff=args.obs_coeff,
         filter_coeff=args.filter_coeff,
         obs_type=args.obs_type,
+        use_eval=args.use_eval,
         q_type=args.q_type,
         scale_factor=args.scale_factor,
         modify_tp=args.modify_tp,
@@ -97,33 +129,51 @@ def main():
 
     # models -------------------------------------------------------------
     rng = jax.random.PRNGKey(args.seed)
-    dec_cfg = VAE_DECODER.replace(dtype=dtype)
+    if args.fast_init:
+        from vaevar_tpu.utils.fast_init import fast_init
+
+        _init = lambda model, x, s: jax.device_put(fast_init(model, x, seed=s))
+    else:
+        _init = lambda model, x, s: model.init(jax.random.PRNGKey(s), x)
+    dec_cfg = fit_grid(VAE_DECODER, shw).replace(dtype=dtype)
     decoder = LGUnet(dec_cfg)
     z0 = jnp.zeros(cfg.latent_shape, jnp.float32)
     dec_params = (
         ckpt.restore(args.vae_ckpt) if args.vae_ckpt
-        else decoder.init(rng, z0)
+        else _init(decoder, z0, args.seed)
     )
 
-    flow_cfg = FLOW_140.replace(dtype=dtype)
+    flow_cfg = fit_grid(FLOW_140, shw).replace(dtype=dtype)
     flow = LGUnet(flow_cfg)
     flow_params = (
         ckpt.restore(args.flow_ckpt) if args.flow_ckpt
-        else flow.init(jax.random.PRNGKey(args.seed + 1),
-                       jnp.zeros((1, 69, *shw)))
+        else _init(flow, jnp.zeros((1, 69, *shw)), args.seed + 1)
     )
     flow_integrate = make_integrate(flow.apply, model_hw=shw)
 
-    if args.forecast_ckpt:
+    if args.forecast_ckpt or (args.fast_init and hw != shw):
         fc_cfg = FORECAST_025.replace(dtype=dtype)
         fc = LGUnet(fc_cfg)
-        forecast_params = ckpt.restore(args.forecast_ckpt)
+        forecast_params = (
+            ckpt.restore(args.forecast_ckpt) if args.forecast_ckpt
+            else _init(fc, jnp.zeros((1, 69, *hw)), args.seed + 2)
+        )
         forecast_integrate = make_integrate(fc.apply)
     else:
         # without a trained 0.25deg checkpoint, advance with the flow model
         forecast_params = flow_params
         forecast_integrate = lambda p, x, steps, interpolation=True: (
             flow_integrate(p, x, steps, True)
+        )
+
+    reports_source = None
+    if args.obs_type.startswith("real"):
+        from vaevar_tpu.data.reports import LocalReportsStore, SyntheticReports
+
+        reports_source = (
+            LocalReportsStore(args.reports_dir) if args.reports_dir
+            else SyntheticReports(source, n_stations=args.n_stations,
+                                  seed=args.seed + 3)
         )
 
     name = (
@@ -146,6 +196,7 @@ def main():
             solver_hw=shw,
             out_hw=hw,
         ) if args.da_mode == "sc4dvar" else None,
+        reports_source=reports_source,
         work_dir=os.path.join(args.work_dir, name),
         seed=args.seed,
     )

@@ -36,6 +36,10 @@ def main():
     import jax
     import jax.numpy as jnp
 
+    from vaevar_tpu.utils import compile_cache
+
+    compile_cache.enable()
+
     from vaevar_tpu.config import FLOW_140, VAE_DECODER, VAE_ENCODER
     from vaevar_tpu.data.era5 import LocalNpyStore, SyntheticEra5
     from vaevar_tpu.data.nmc import NMCSequenceDataset, batched_loader

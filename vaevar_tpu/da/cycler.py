@@ -25,12 +25,16 @@ from vaevar_tpu.config import DAConfig
 from vaevar_tpu.da import baselines, cost as cost_mod, obs as obs_mod
 from vaevar_tpu.da.cost import ObsBundle
 from vaevar_tpu.da.solver import VariationalSolver
+from vaevar_tpu.ops.interp import augment_levels, obs_level_interp_matrix
 from vaevar_tpu.utils import metrics as M
 
 CYCLE = pd.Timedelta("6h")
 STEP = pd.Timedelta("1h")
 
-_METRIC_KEYS = ("bg_wrmse", "ana_wrmse", "bg_mse", "ana_mse", "bg_bias", "ana_bias")
+_METRIC_KEYS = (
+    "bg_wrmse", "ana_wrmse", "bg_mse", "ana_mse", "bg_bias", "ana_bias",
+    "error_obs",
+)
 
 
 @dataclass
@@ -44,9 +48,11 @@ class CycledDA:
     decoder_apply: Optional[Callable] = None  # vae4dvar decoder fn
     vae_params: object = None
     cvt: Optional[Callable] = None  # sc4dvar transform(u, xb)
+    reports_source: object = None  # station JSON reports for real obs types
     work_dir: str = "da_cycle_results/run"
     seed: int = 0
     mask_dir: Optional[str] = None
+    mask_eval: Optional[np.ndarray] = None  # obs-space holdout (C_obs, H, W)
     verbose: bool = True
 
     metrics_list: dict = field(default_factory=lambda: {k: [] for k in _METRIC_KEYS})
@@ -60,6 +66,26 @@ class CycledDA:
             self.mask_dir or ".", self.cfg.q_type, self.cfg.da_win, hw
         ) if self.cfg.da_win > 1 else None
         self.R = obs_mod.build_R(obs_var, q, self.cfg.da_win, hw)
+        self.is_real_obs = self.cfg.obs_type.startswith("real")
+        if self.is_real_obs:
+            self._interp = obs_level_interp_matrix(self.cfg.interp_dim)
+            # R on obs levels (da_4dvar.py:744-756)
+            import jax.numpy as _jnp
+
+            self.R_aug = np.asarray(
+                augment_levels(_jnp.asarray(self.R), self._interp)
+            )
+            self._std_aug = obs_mod.std_layer_augmented(self.cfg.interp_dim)
+        else:
+            self._interp = None
+        if self.cfg.use_eval and self.mask_eval is None:
+            # synthetic stand-in for dataset/mask_eval1.npy (not in the
+            # reference repo): hold out ~20% of obs cells for validation
+            c_obs = 4 + 5 * self.cfg.interp_dim if self.is_real_obs else 69
+            self.mask_eval = (
+                np.random.default_rng(self.seed + 7)
+                .random((c_obs, *hw)) < 0.2
+            ).astype(np.float32)
         self._load_metrics()
         self._solver = self._build_solver()
         self._params = {"decoder": self.vae_params, "flow": self.flow_params}
@@ -78,6 +104,7 @@ class CycledDA:
                 flow_hw=cfg.solver_hw,
                 da_win=cfg.da_win,
                 obs_coeff=cfg.obs_coeff,
+                interp_matrix=self._interp,
             )
             return VariationalSolver(
                 c, to_state, parts, lbfgs_iters=cfg.lbfgs_iters,
@@ -88,6 +115,7 @@ class CycledDA:
             c, to_state, parts = cost_mod.make_sc4dvar_cost(
                 self.cvt, self.flow_apply, flow_hw=cfg.solver_hw,
                 da_win=cfg.da_win, obs_coeff=cfg.obs_coeff,
+                interp_matrix=self._interp,
             )
             # reference uses max_iter=5 per segment for sc4dvar
             # (da_4dvar.py:1119)
@@ -145,8 +173,10 @@ class CycledDA:
     # --- per-cycle pieces -------------------------------------------------
 
     def get_obs_info(self, current_time):
-        """(yo, H, R, gt) for synthetic obs families: obs = truth at mask
-        points (reference uses noiseless synthetic obs, da_4dvar.py:449)."""
+        """(yo, H, R, gt). Synthetic families: obs = truth at mask points
+        (reference uses noiseless synthetic obs, da_4dvar.py:449). "real"
+        obs types: station reports gridded onto the augmented obs-level
+        space with QC filtering (da_4dvar.py:758-805)."""
         cfg = self.cfg
         frames = [self.state_source.get_state(current_time)]
         t = current_time
@@ -154,14 +184,37 @@ class CycledDA:
             t = t + STEP
             frames.append(self.state_source.get_state(t))
         gt = np.stack(frames)  # (T, 69, H, W)
-        yo = gt
-        H = obs_mod.make_obs_mask(
-            cfg.obs_type, cfg.da_win, cfg.grid_hw, self._rng, self.mask_dir
-        )
+
+        if self.is_real_obs:
+            reports = [self.reports_source.get_reports(current_time)]
+            if cfg.da_win > 3:
+                reports.append(
+                    self.reports_source.get_reports(current_time + CYCLE)
+                )
+            yo, H = obs_mod.grid_real_obs(
+                reports, cfg.da_win, cfg.interp_dim, cfg.grid_hw
+            )
+            gt_aug = np.asarray(
+                augment_levels(jnp.asarray(gt), self._interp)
+            )
+            H = obs_mod.qc_filter(
+                yo, gt_aug, H, cfg.filter_coeff, cfg.obs_type, self._std_aug
+            )
+            if cfg.obs_type.startswith("real_simuz"):
+                yo[:, 4:44] = gt_aug[:, 4:44] * H[:, 4:44]
+            elif cfg.obs_type.startswith("real_simu"):
+                yo = gt_aug * H
+            R = self.R_aug
+        else:
+            yo = gt
+            H = obs_mod.make_obs_mask(
+                cfg.obs_type, cfg.da_win, cfg.grid_hw, self._rng, self.mask_dir
+            )
+            R = self.R
         return (
             jnp.asarray(yo),
             jnp.asarray(H),
-            jnp.asarray(self.R),
+            jnp.asarray(R),
             jnp.asarray(gt),
         )
 
@@ -182,9 +235,24 @@ class CycledDA:
         self.metrics_list[f"{prefix}_mse"].append(mse)
         return wrmse
 
+    def _obs_holdout_error(self, xa, yo0, H_old0):
+        """Obs-space holdout RMSE on eval cells (da_4dvar.py:1285-1287)."""
+        xhat = np.asarray(xa)
+        if self.is_real_obs:
+            xhat = np.asarray(
+                augment_levels(jnp.asarray(xhat[None]), self._interp)
+            )[0]
+        w = self.mask_eval * np.asarray(H_old0)
+        num = np.sum((xhat - np.asarray(yo0)) ** 2 * w, axis=(1, 2))
+        den = np.maximum(np.sum(w, axis=(1, 2)), 1e-10)
+        return np.sqrt(num / den)
+
     def one_step_da(self, gt, xb, yo, H, R):
         cfg = self.cfg
         mode = cfg.da_mode
+        H_old = H
+        if cfg.use_eval:
+            H = H * (1.0 - jnp.asarray(self.mask_eval)[None])
         w_bg = self._score("bg", xb, gt[0])
         if self.verbose:
             print(
@@ -197,7 +265,8 @@ class CycledDA:
         elif mode == "interpolation":
             xa = jnp.asarray(
                 baselines.interpolation_analysis(
-                    np.asarray(xb), np.asarray(yo[0]), np.asarray(H[0])
+                    np.asarray(xb), np.asarray(yo[0]), np.asarray(H[0]),
+                    real_obs=self.is_real_obs, dim_out=cfg.interp_dim,
                 )
             )
         elif mode == "vae4dvar":
@@ -217,6 +286,10 @@ class CycledDA:
         else:
             raise NotImplementedError(mode)
 
+        if cfg.use_eval:
+            self.metrics_list["error_obs"].append(
+                self._obs_holdout_error(xa, yo[0], H_old[0])
+            )
         w_ana = self._score("ana", xa, gt[0])
         if self.verbose:
             print(
