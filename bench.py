@@ -30,6 +30,10 @@ BUDGET_S_PER_CYCLE = 600.0 / 124.0  # v5e-8 north star
 
 
 def main():
+    from vaevar_tpu.utils import compile_cache
+
+    compile_cache.enable()
+
     from vaevar_tpu import channels
     from vaevar_tpu.config import DAConfig, FLOW_140, VAE_DECODER
     from vaevar_tpu.da import cost as cost_mod, obs as obs_mod
@@ -90,16 +94,21 @@ def main():
         xb_next = integrate(params["flow"], xa)
         return xb_next
 
+    # forces completion even where block_until_ready returns early (the
+    # remote-TPU tunnel): a host read cannot happen before the value exists
+    def sync(x):
+        return float(jnp.sum(x[0, ::97, ::101]))
+
     # warmup (compile)
     xb_next = one_cycle(bundle)
-    jax.block_until_ready(xb_next)
+    sync(xb_next)
 
     # timed cycles
     n = 3
     t0 = time.time()
     for _ in range(n):
         xb_next = one_cycle(bundle._replace(xb=xb_next))
-        jax.block_until_ready(xb_next)
+        sync(xb_next)
     dt = (time.time() - t0) / n
 
     print(
