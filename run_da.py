@@ -54,10 +54,16 @@ def arg_parser():
     p.add_argument("--grid", type=str, default="721x1440")
     p.add_argument("--solver_grid", type=str, default="128x256")
     p.add_argument("--work_dir", type=str, default="da_cycle_results")
+    p.add_argument("--mesh", type=str, default=None,
+                   help="spatial device mesh 'SHxSW' (e.g. 2x4) to shard "
+                        "the (lat, lon) grid of the variational solve")
     p.add_argument("--bf16", action="store_true", default=True)
     p.add_argument("--fast_init", action="store_true",
                    help="materialize random params via eval_shape + host "
                         "RNG (seconds, not minutes) when no ckpt is given")
+    p.add_argument("--micro", action="store_true",
+                   help="micro model configs (smoke runs / CPU mesh tests); "
+                        "latent becomes 8 channels")
     p.add_argument("--seed", type=int, default=0)
     return p.parse_args()
 
@@ -67,9 +73,31 @@ def main():
     import jax
     import jax.numpy as jnp
 
+    # the axon TPU plugin ignores the JAX_PLATFORMS env var; honor it
+    if os.environ.get("JAX_PLATFORMS"):
+        jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
+
     from vaevar_tpu.utils import compile_cache
 
     compile_cache.enable()
+
+    # validate the mesh spec before any (slow) model initialization
+    mesh = None
+    if args.mesh:
+        from vaevar_tpu.parallel import mesh as pmesh
+
+        try:
+            sh, sw = (int(v) for v in args.mesh.split("x"))
+        except ValueError:
+            raise SystemExit(f"--mesh must be 'SHxSW' (e.g. 2x4), got "
+                             f"{args.mesh!r}")
+        if sh * sw > jax.device_count():
+            raise SystemExit(
+                f"--mesh {args.mesh} needs {sh * sw} devices, have "
+                f"{jax.device_count()}"
+            )
+        mesh = pmesh.make_mesh({"sh": sh, "sw": sw},
+                               jax.devices()[: sh * sw])
 
     from vaevar_tpu.config import DAConfig, FLOW_140, FORECAST_025, VAE_DECODER
     from vaevar_tpu.da.cvt import BMatrixAssets, CVTransform
@@ -117,7 +145,7 @@ def main():
         init_lag=args.init_lag,
         init_tp=args.init_tp,
         save_interval=args.save_interval,
-        latent_shape=(1, 32, *shw),
+        latent_shape=(1, 8 if args.micro else 32, *shw),
         grid_hw=hw,
         solver_hw=shw,
     )
@@ -135,7 +163,16 @@ def main():
         _init = lambda model, x, s: jax.device_put(fast_init(model, x, seed=s))
     else:
         _init = lambda model, x, s: model.init(jax.random.PRNGKey(s), x)
-    dec_cfg = fit_grid(VAE_DECODER, shw).replace(dtype=dtype)
+    from vaevar_tpu import config as cfgs
+
+    if args.micro:
+        dec_base = cfgs.micro_config(
+            img_size=shw, inchans_list=(2, 6), outchans_list=(13, 56)
+        )
+        flow_base = cfgs.micro_config(img_size=shw)
+    else:
+        dec_base, flow_base = fit_grid(VAE_DECODER, shw), fit_grid(FLOW_140, shw)
+    dec_cfg = dec_base.replace(dtype=dtype)
     decoder = LGUnet(dec_cfg)
     z0 = jnp.zeros(cfg.latent_shape, jnp.float32)
     dec_params = (
@@ -143,7 +180,7 @@ def main():
         else _init(decoder, z0, args.seed)
     )
 
-    flow_cfg = fit_grid(FLOW_140, shw).replace(dtype=dtype)
+    flow_cfg = flow_base.replace(dtype=dtype)
     flow = LGUnet(flow_cfg)
     flow_params = (
         ckpt.restore(args.flow_ckpt) if args.flow_ckpt
@@ -197,6 +234,7 @@ def main():
             out_hw=hw,
         ) if args.da_mode == "sc4dvar" else None,
         reports_source=reports_source,
+        mesh=mesh,
         work_dir=os.path.join(args.work_dir, name),
         seed=args.seed,
     )

@@ -36,6 +36,10 @@ def main():
     import jax
     import jax.numpy as jnp
 
+    # the axon TPU plugin ignores the JAX_PLATFORMS env var; honor it
+    if os.environ.get("JAX_PLATFORMS"):
+        jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
+
     from vaevar_tpu.utils import compile_cache
 
     compile_cache.enable()

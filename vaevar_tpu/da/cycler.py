@@ -53,6 +53,7 @@ class CycledDA:
     seed: int = 0
     mask_dir: Optional[str] = None
     mask_eval: Optional[np.ndarray] = None  # obs-space holdout (C_obs, H, W)
+    mesh: object = None  # jax.sharding.Mesh for spatially-sharded solves
     verbose: bool = True
 
     metrics_list: dict = field(default_factory=lambda: {k: [] for k in _METRIC_KEYS})
@@ -108,7 +109,7 @@ class CycledDA:
             )
             return VariationalSolver(
                 c, to_state, parts, lbfgs_iters=cfg.lbfgs_iters,
-                history=cfg.lbfgs_history,
+                history=cfg.lbfgs_history, mesh=self.mesh,
             )
         if cfg.da_mode == "sc4dvar":
             assert self.cvt is not None
@@ -121,7 +122,7 @@ class CycledDA:
             # (da_4dvar.py:1119)
             return VariationalSolver(
                 c, to_state, parts, lbfgs_iters=min(cfg.lbfgs_iters, 5),
-                history=cfg.lbfgs_history,
+                history=cfg.lbfgs_history, mesh=self.mesh,
             )
         return None
 

@@ -8,6 +8,13 @@ diagnostics against truth evaluated between segments.
 `VariationalSolver` jits the segment/diagnostic programs ONCE per run —
 per-cycle data (xb, yo, H, R) are traced arguments (ObsBundle), so a
 year-long cycled run compiles exactly one solve program.
+
+Multi-chip: pass a `jax.sharding.Mesh` with spatial axes ("sh", "sw") —
+the solve inputs (control variable, background, obs arrays) are committed
+to (lat, lon)-sharded layouts and GSPMD partitions the whole jitted solve,
+inserting ICI collectives for window shifts / convs / reductions. This is
+the sharded-0.25deg design of SURVEY.md section 2c: the L-BFGS state
+inherits the control variable's sharding, params stay replicated.
 """
 
 from __future__ import annotations
@@ -45,7 +52,9 @@ class VariationalSolver:
         cost_parts: Callable,  # (x, bundle, params) -> (jb, jo)
         lbfgs_iters: int = 10,
         history: int = 10,
+        mesh=None,  # jax.sharding.Mesh with "sh"/"sw" axes for spatial SPMD
     ):
+        self.mesh = mesh
         self._mean = jnp.asarray(channels.MEAN, jnp.float32).reshape(-1, 1, 1)
         self._std = jnp.asarray(channels.STD, jnp.float32).reshape(-1, 1, 1)
 
@@ -80,6 +89,8 @@ class VariationalSolver:
         name: str = "da",
     ):
         params = {} if params is None else params
+        if self.mesh is not None:
+            x0, bundle, params, gt = self._shard_inputs(x0, bundle, params, gt)
         diag = SolveDiagnostics()
         t0 = time.time()
         x = x0
@@ -102,3 +113,17 @@ class VariationalSolver:
                 x = self.segment(x, bundle, params)
         diag.seconds = time.time() - t0
         return x, self.to_state(x, bundle, params), diag
+
+    def _shard_inputs(self, x0, bundle, params, gt):
+        """Commit solve inputs to (lat, lon) shardings; GSPMD propagates
+        through the jitted programs from these layouts."""
+        from vaevar_tpu.parallel import mesh as pmesh
+
+        m = self.mesh
+        sh = lambda a: pmesh.shard(a, m, pmesh.state_spec(m, jnp.ndim(a)))
+        x0 = sh(x0)
+        bundle = ObsBundle(*(sh(f) for f in bundle))
+        params = pmesh.replicate(params, m)
+        if gt is not None:
+            gt = sh(gt)
+        return x0, bundle, params, gt
