@@ -15,10 +15,13 @@ which differs structurally in three TPU-motivated ways:
   on the scan axis (pairwise for shifted stacks: blocks 0,2,4.. feed
   ``b0``, blocks 1,3,5.. feed ``b1``); stacks of one body are stored flat.
 
-Only the new-generation backbone (RoPE attention, ``attn_type="rope"``) is
-covered — the shipped 0.25deg forecast checkpoint format. Input tensors may
-be numpy arrays or anything ``np.asarray`` accepts (load torch .pth with
-``torch.load(..., map_location="cpu")`` and pass ``{k: v.numpy()}``).
+Both backbone generations are covered, selected by ``cfg.attn_type``:
+"rope" reads new-gen ``LGUnet_all_1`` checkpoints (the 0.25deg forecast
+model), "relbias" reads old-gen ``LGUnet_all`` checkpoints incl. LoRA
+adapters (the 1.4deg flow model and both VAE halves;
+``vae_params_from_torch`` handles the ``VAE_lr`` wrapper). Input tensors
+may be numpy arrays or anything ``np.asarray`` accepts (load torch .pth
+with ``torch.load(..., map_location="cpu")`` and pass ``{k: v.numpy()}``).
 """
 
 from __future__ import annotations
@@ -58,15 +61,28 @@ def _linear(sd, p, bias=True):
     return out
 
 
-def _block(sd, p):
-    """torch Windowattn_block -> flax Block tree (Blocks.py:103-159)."""
+def _block(sd, p, gen="new"):
+    """torch block -> flax Block tree.
+
+    gen="new": Windowattn_block (Blocks.py:103-159, norm/norm2, RoPE attn).
+    gen="old": SwinTransformerBlock (networks_old/utils/swinblock.py:189-309,
+    norm1/norm2, rel-pos-bias table, optional LoRA qA/qB)."""
+    n1 = f"{p}.norm" if gen == "new" else f"{p}.norm1"
+    attn = {
+        "qkv": _linear(sd, f"{p}.attn.qkv"),
+        "proj": _linear(sd, f"{p}.attn.proj"),
+    }
+    if gen == "old":
+        attn["rel_bias_table"] = np.asarray(
+            sd[f"{p}.attn.relative_position_bias_table"]
+        )
+        if f"{p}.attn.qA.weight" in sd:
+            attn["qA"] = _linear(sd, f"{p}.attn.qA", bias=False)
+            attn["qB"] = _linear(sd, f"{p}.attn.qB", bias=False)
     return {
-        "norm1": _ln(sd, f"{p}.norm"),
+        "norm1": _ln(sd, n1),
         "norm2": _ln(sd, f"{p}.norm2"),
-        "attn": {
-            "qkv": _linear(sd, f"{p}.attn.qkv"),
-            "proj": _linear(sd, f"{p}.attn.proj"),
-        },
+        "attn": attn,
         "mlp": {
             "fc1": _linear(sd, f"{p}.mlp.fc1"),
             "fc2": _linear(sd, f"{p}.mlp.fc2"),
@@ -86,9 +102,9 @@ def _tree_multimap(fn, trees):
     return fn(*trees)
 
 
-def _block_stack(sd, prefix, depth, shifted):
+def _block_stack(sd, prefix, depth, shifted, gen="new"):
     """torch blocks.{j} -> flax BlockStack {"scan": ...} (lgunet.BlockStack)."""
-    blocks = [_block(sd, f"{prefix}.{j}") for j in range(depth)]
+    blocks = [_block(sd, f"{prefix}.{j}", gen) for j in range(depth)]
     if not shifted:
         body = blocks[0] if depth == 1 else _stack_trees(blocks)
         return {"scan": {"b": body}}
@@ -102,8 +118,8 @@ def _block_stack(sd, prefix, depth, shifted):
     }}
 
 
-def _group_encoder(sd, g, cfg: LGUnetConfig):
-    p = f"enc.enc_list.{g}"
+def _group_encoder(sd, g, cfg: LGUnetConfig, gen="new", prefix=""):
+    p = f"{prefix}enc.enc_list.{g}"
     pr = cfg.patches_resolution
     out = {
         "patch_embed": {
@@ -117,7 +133,8 @@ def _group_encoder(sd, g, cfg: LGUnetConfig):
     }
     for i in range(len(cfg.enc_depths)):
         out[f"enc{i}"] = _block_stack(
-            sd, f"{p}.layers.{i}.blocks", cfg.enc_depths[i], shifted=True
+            sd, f"{p}.layers.{i}.blocks", cfg.enc_depths[i], shifted=True,
+            gen=gen,
         )
         if i > 0:
             out[f"merge{i}"] = {
@@ -129,15 +146,15 @@ def _group_encoder(sd, g, cfg: LGUnetConfig):
     return out
 
 
-def _group_decoder(sd, g, cfg: LGUnetConfig):
-    p = f"dec.dec_list.{g}"
+def _group_decoder(sd, g, cfg: LGUnetConfig, gen="new", prefix=""):
+    p = f"{prefix}dec.dec_list.{g}"
     L = len(cfg.enc_depths)
     out = {"norm_up": _ln(sd, f"{p}.norm_up")}
     for i in range(L):
         out[f"concat_back{i}"] = _linear(sd, f"{p}.concat_back_dim.{i}")
         out[f"dec{i}"] = _block_stack(
             sd, f"{p}.layers_up.{i}.blocks", cfg.enc_depths[L - 1 - i],
-            shifted=True,
+            shifted=True, gen=gen,
         )
         if i < L - 1:
             out[f"expand{i}"] = {
@@ -147,48 +164,65 @@ def _group_decoder(sd, g, cfg: LGUnetConfig):
                 "norm": _ln(sd, f"{p}.layers_up.{i}.upsample.norm"),
             }
     out["head"] = {
-        "kernel": _convT(sd[f"dec.final_proj_list.{g}.weight"]),
-        "bias": np.asarray(sd[f"dec.final_proj_list.{g}.bias"]),
+        "kernel": _convT(sd[f"{prefix}dec.final_proj_list.{g}.weight"]),
+        "bias": np.asarray(sd[f"{prefix}dec.final_proj_list.{g}.bias"]),
     }
     return out
 
 
-def lgunet_params_from_torch(state_dict, cfg: LGUnetConfig):
-    """Full conversion: reference LGUnet_all_1 state_dict -> flax params."""
-    sd = {k: np.asarray(v) for k, v in state_dict.items()}
+def lgunet_params_from_torch(state_dict, cfg: LGUnetConfig, prefix: str = ""):
+    """Full conversion: reference state_dict -> flax params.
+
+    Covers both generations, selected by ``cfg.attn_type``: "rope" reads a
+    new-gen ``LGUnet_all_1`` tree (networks/LGUnet_all.py:742), "relbias"
+    an old-gen ``LGUnet_all`` tree (networks_old/transformer.py:716, incl.
+    LoRA adapters when present). ``prefix`` addresses nested submodules
+    (e.g. "enc." / "dec." inside a VAE_lr checkpoint)."""
+    sd = {k: np.asarray(v) for k, v in state_dict.items()
+          if not prefix or k.startswith(prefix)}
+    gen = "old" if cfg.attn_type == "relbias" else "new"
     G = cfg.n_groups
     Hg, Wg = cfg.lg_resolution
 
     params = {
-        "enc_proj": _linear(sd, "enc.proj"),
-        "dec_proj": _linear(sd, "dec.proj"),
-        "lg": {"pos_embed": np.asarray(sd["net.pos_embed"]).reshape(
+        "enc_proj": _linear(sd, f"{prefix}enc.proj"),
+        "dec_proj": _linear(sd, f"{prefix}dec.proj"),
+        "lg": {"pos_embed": np.asarray(sd[f"{prefix}net.pos_embed"]).reshape(
             1, Hg, Wg, -1
         )},
     }
     full0 = cfg.lg_full_attn_first
     for i, depth in enumerate(cfg.lg_depths):
         params["lg"][f"lg{i}"] = _block_stack(
-            sd, f"net.layers.{i}.blocks", depth,
-            shifted=not (full0 and i == 0),
+            sd, f"{prefix}net.layers.{i}.blocks", depth,
+            shifted=not (full0 and i == 0), gen=gen,
         )
 
-    params["enc_g0"] = _group_encoder(sd, 0, cfg)
-    params["dec_g0"] = _group_decoder(sd, 0, cfg)
+    params["enc_g0"] = _group_encoder(sd, 0, cfg, gen, prefix)
+    params["dec_g0"] = _group_decoder(sd, 0, cfg, gen, prefix)
 
     uniform = G > 2 and len(set(cfg.inchans_list[1:])) == 1 and len(
         set(cfg.outchans_list[1:])
     ) == 1
     if uniform:
         params["enc_gs"] = _stack_trees(
-            [_group_encoder(sd, g, cfg) for g in range(1, G)]
+            [_group_encoder(sd, g, cfg, gen, prefix) for g in range(1, G)]
         )
         params["dec_gs"] = _stack_trees(
-            [_group_decoder(sd, g, cfg) for g in range(1, G)]
+            [_group_decoder(sd, g, cfg, gen, prefix) for g in range(1, G)]
         )
     else:
         for g in range(1, G):
-            params[f"enc_g{g}"] = _group_encoder(sd, g, cfg)
-            params[f"dec_g{g}"] = _group_decoder(sd, g, cfg)
+            params[f"enc_g{g}"] = _group_encoder(sd, g, cfg, gen, prefix)
+            params[f"dec_g{g}"] = _group_decoder(sd, g, cfg, gen, prefix)
 
     return {"params": params}
+
+
+def vae_params_from_torch(state_dict, enc_cfg: LGUnetConfig,
+                          dec_cfg: LGUnetConfig):
+    """Reference ``VAE_lr`` state_dict (nf_model/vae.py:53-70: two old-gen
+    LGUnets under ``enc.``/``dec.``) -> flax VAE params."""
+    enc = lgunet_params_from_torch(state_dict, enc_cfg, prefix="enc.")
+    dec = lgunet_params_from_torch(state_dict, dec_cfg, prefix="dec.")
+    return {"params": {"enc": enc["params"], "dec": dec["params"]}}
