@@ -82,13 +82,16 @@ def main():
             cfg.da_win, HW,
         )
     )
-    bundle = ObsBundle(xb=xb, yo=gt, H=Hm, R=R)
+    full_bundle = ObsBundle(xb=xb, yo=gt, H=Hm, R=R)
+    reduce = jax.jit(lambda b: cost_mod.reduce_obs(b, (128, 256)))
 
-    c, to_state, parts = cost_mod.make_vae4dvar_cost(decoder.apply)
+    c, to_state, parts = cost_mod.make_vae4dvar_cost_reduced(decoder.apply)
     solver = VariationalSolver(c, to_state, parts, lbfgs_iters=cfg.lbfgs_iters,
                                history=cfg.lbfgs_history)
 
-    def one_cycle(bundle):
+    def one_cycle(full):
+        # per-cycle obs reduction onto the solver grid (exact, cost.ReducedObs)
+        bundle = reduce(full)
         _, xa, _ = solver.solve(z0, bundle, params, nit=cfg.nit, gt=None,
                                 verbose=False)
         xb_next = integrate(params["flow"], xa)
@@ -100,14 +103,14 @@ def main():
         return float(jnp.sum(x[0, ::97, ::101]))
 
     # warmup (compile)
-    xb_next = one_cycle(bundle)
+    xb_next = one_cycle(full_bundle)
     sync(xb_next)
 
     # timed cycles
     n = 3
     t0 = time.time()
     for _ in range(n):
-        xb_next = one_cycle(bundle._replace(xb=xb_next))
+        xb_next = one_cycle(full_bundle._replace(xb=xb_next))
         sync(xb_next)
     dt = (time.time() - t0) / n
 

@@ -25,6 +25,7 @@ from __future__ import annotations
 from typing import Callable, NamedTuple
 
 import jax.numpy as jnp
+import numpy as np
 
 from vaevar_tpu import channels
 from vaevar_tpu.da.dynamics import make_integrate, rollout_window
@@ -38,6 +39,49 @@ class ObsBundle(NamedTuple):
     yo: jnp.ndarray  # (T, C_obs, H, W)
     H: jnp.ndarray  # (T, C_obs, H, W)
     R: jnp.ndarray  # (T, C_obs, H, W)
+
+
+class ReducedObs(NamedTuple):
+    """Obs term pre-reduced onto the solver grid (da_win=1 only).
+
+    For nearest upsampling the analysis is piecewise-constant per solver
+    cell, so Jo(e) = 1/2 sum_cells [a e^2 - 2 b e + c] EXACTLY, with e the
+    low-res increment and per-cell sums over the full-resolution grid:
+        a = sum H/R,  b = sum (H/R)(yo - xb),  c = sum (H/R)(yo - xb)^2.
+    This turns every L-BFGS cost/grad evaluation's O(69*721*1440)
+    obs work + fwd/bwd resize into O(69*128*256); the reduction itself is
+    two thin one-time matmuls per cycle (MXU-cheap)."""
+
+    xb: jnp.ndarray  # (69, H, W) full-resolution background
+    a: jnp.ndarray  # (C, h, w)
+    b: jnp.ndarray  # (C, h, w)
+    c: jnp.ndarray  # ()
+
+
+def reduce_obs(bundle: ObsBundle, low_hw) -> ReducedObs:
+    """Exact reduction of (yo, H, R) onto the solver grid (see ReducedObs).
+    Valid when da_win == 1 and the increment is nearest-upsampled."""
+    from vaevar_tpu.ops.interp import _nearest_idx
+
+    Hf, Wf = bundle.xb.shape[-2:]
+    hl, wl = low_hw
+    hi = _nearest_idx(Hf, hl)
+    wi = _nearest_idx(Wf, wl)
+    Mh = jnp.asarray(np.eye(hl, dtype=np.float32)[hi])  # (Hf, hl)
+    Mw = jnp.asarray(np.eye(wl, dtype=np.float32)[wi])  # (Wf, wl)
+
+    w = bundle.H[0] / bundle.R[0]  # (C, Hf, Wf)
+    r = bundle.yo[0] - bundle.xb  # innovation at full res
+
+    def down(t):
+        return jnp.einsum(
+            "chw,hi,wj->cij", t, Mh, Mw, preferred_element_type=jnp.float32
+        )
+
+    a = down(w)
+    b = down(w * r)
+    c = jnp.sum(w * r * r)
+    return ReducedObs(xb=bundle.xb, a=a, b=b, c=c)
 
 
 def obs_term(x_pred, bundle: ObsBundle, interp_matrix=None):
@@ -97,6 +141,42 @@ def make_vae4dvar_cost(
         return 0.5 * jnp.sum(z**2), obs_term(
             _predict(z, bundle, params), bundle, interp_matrix
         )
+
+    return cost, decode_to_state, cost_parts
+
+
+def make_vae4dvar_cost_reduced(decoder_apply: Callable, obs_coeff: float = 1.0,
+                               err_std=None):
+    """3D-Var (da_win=1) vae4dvar cost on the REDUCED obs quadratic
+    (see ReducedObs): bundle is a ReducedObs; identical J to
+    make_vae4dvar_cost up to float associativity, ~30x less obs work per
+    L-BFGS evaluation at 0.25deg."""
+    err = jnp.asarray(
+        channels.ERR_STD if err_std is None else err_std, jnp.float32
+    ).reshape(-1, 1, 1)
+    mstd = jnp.asarray(channels.STD, jnp.float32).reshape(-1, 1, 1)
+
+    def increment(z, params):
+        return decoder_apply(params["decoder"], z)[0].astype(
+            jnp.float32
+        ) * err * mstd  # (69, h, w) low-res increment e
+
+    def decode_to_state(z, bundle: ReducedObs, params):
+        e = increment(z, params)
+        return bundle.xb + resize_nearest(e, bundle.xb.shape[-2:])
+
+    def obs_quad(z, bundle: ReducedObs, params):
+        e = increment(z, params)
+        return 0.5 * (
+            jnp.sum(bundle.a * e * e) - 2.0 * jnp.sum(bundle.b * e)
+            + bundle.c
+        )
+
+    def cost(z, bundle: ReducedObs, params):
+        return 0.5 * jnp.sum(z**2) + obs_coeff * obs_quad(z, bundle, params)
+
+    def cost_parts(z, bundle: ReducedObs, params):
+        return 0.5 * jnp.sum(z**2), obs_coeff * obs_quad(z, bundle, params)
 
     return cost, decode_to_state, cost_parts
 

@@ -95,18 +95,33 @@ class CycledDA:
             lambda p, x: self.forecast_integrate(p, x, 1, True),
         )
 
+    @property
+    def _use_reduced_obs(self):
+        # 3D-Var + per-channel obs + nearest upsample: the obs quadratic
+        # reduces exactly onto the solver grid (cost.ReducedObs)
+        return (self.cfg.da_mode == "vae4dvar" and self.cfg.da_win == 1
+                and self._interp is None)
+
     def _build_solver(self):
         cfg = self.cfg
         if cfg.da_mode == "vae4dvar":
             assert self.decoder_apply is not None
-            c, to_state, parts = cost_mod.make_vae4dvar_cost(
-                self.decoder_apply,
-                self.flow_apply,
-                flow_hw=cfg.solver_hw,
-                da_win=cfg.da_win,
-                obs_coeff=cfg.obs_coeff,
-                interp_matrix=self._interp,
-            )
+            if self._use_reduced_obs:
+                c, to_state, parts = cost_mod.make_vae4dvar_cost_reduced(
+                    self.decoder_apply, obs_coeff=cfg.obs_coeff,
+                )
+                self._reduce_obs = jax.jit(
+                    lambda b: cost_mod.reduce_obs(b, cfg.solver_hw)
+                )
+            else:
+                c, to_state, parts = cost_mod.make_vae4dvar_cost(
+                    self.decoder_apply,
+                    self.flow_apply,
+                    flow_hw=cfg.solver_hw,
+                    da_win=cfg.da_win,
+                    obs_coeff=cfg.obs_coeff,
+                    interp_matrix=self._interp,
+                )
             return VariationalSolver(
                 c, to_state, parts, lbfgs_iters=cfg.lbfgs_iters,
                 history=cfg.lbfgs_history, mesh=self.mesh,
@@ -272,6 +287,8 @@ class CycledDA:
             )
         elif mode == "vae4dvar":
             bundle = ObsBundle(xb=xb, yo=yo, H=H, R=R)
+            if self._use_reduced_obs:
+                bundle = self._reduce_obs(bundle)
             z0 = jnp.zeros(cfg.latent_shape, jnp.float32)
             _, xa, diag = self._solver.solve(
                 z0, bundle, self._params, nit=cfg.nit, gt=gt,

@@ -223,8 +223,9 @@ class Block(nn.Module):
         # back to the torch default (networks_old/transformer.py:179-195 vs
         # swinblock.py:226); mirrored for checkpoint parity
         eps = 1e-5 if self.attn_type == "relbias" else 1e-6
-        x = x + attn(nn.LayerNorm(epsilon=eps, name="norm1")(x))
-        y = nn.LayerNorm(epsilon=eps, name="norm2")(x)
+        x = x + attn(nn.LayerNorm(epsilon=eps, dtype=self.dtype,
+                                  name="norm1")(x))
+        y = nn.LayerNorm(epsilon=eps, dtype=self.dtype, name="norm2")(x)
         x = x + Mlp(self.dim, int(self.dim * self.mlp_ratio), self.dtype,
                     name="mlp")(y)
         return x
