@@ -224,3 +224,40 @@ class TestChannels:
         z = channels.normalize(x)
         back = channels.denormalize(z)
         np.testing.assert_allclose(back, x, rtol=1e-10)
+
+
+class TestMeters:
+    def test_smoothed_value(self):
+        from vaevar_tpu.utils.meters import SmoothedValue
+
+        s = SmoothedValue(window_size=3)
+        for v in [1.0, 2.0, 3.0, 4.0]:
+            s.update(v)
+        assert s.value == 4.0 and s.median == 3.0
+        assert abs(s.avg - 3.0) < 1e-9  # window [2,3,4]
+        assert abs(s.global_avg - 2.5) < 1e-9
+        s.synchronize_between_processes()  # no-op single process
+        assert s.count == 4
+
+    def test_metric_logger_iterates(self, capsys):
+        from vaevar_tpu.utils.meters import MetricLogger
+
+        ml = MetricLogger()
+        for i in ml.log_every(range(5), print_freq=2, header="ep0"):
+            ml.update(loss=float(i))
+        out = capsys.readouterr().out
+        assert "ep0" in out and "loss" in out and "done in" in out
+        assert abs(ml.meters["loss"].global_avg - 2.0) < 1e-9
+
+    def test_scalar_writer(self, tmp_path):
+        import json
+
+        from vaevar_tpu.utils.meters import ScalarWriter
+
+        w = ScalarWriter(str(tmp_path))
+        w.add_scalar("loss", 1.5, 0)
+        w.add_scalars({"a": 1, "b": 2}, 1)
+        w.close()
+        lines = [json.loads(l) for l in open(tmp_path / "scalars.jsonl")]
+        assert len(lines) == 3 and lines[0]["tag"] == "loss"
+        assert {l["tag"] for l in lines[1:]} == {"a", "b"}
