@@ -234,6 +234,7 @@ def main():
             out_hw=hw,
         ) if args.da_mode == "sc4dvar" else None,
         reports_source=reports_source,
+        coeff_dir=args.coeff_dir,
         mesh=mesh,
         work_dir=os.path.join(args.work_dir, name),
         seed=args.seed,

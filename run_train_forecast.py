@@ -1,0 +1,185 @@
+"""Forecast-model training / Q-matrix / rollout-eval runner (CLI).
+
+Equivalent of the reference `basemodel` workflows (model/model.py:26-514,
+launched via its ConfigBuilder yaml configs): supervised one-/two-step
+training with Possloss or LpLoss, `calculate_q` per-pixel error-variance
+export (writes the `new_q.npy` asset consumed by the DA engine's Q-matrix,
+da_4dvar.py:528-550), and multi-step rollout WRMSE evaluation.
+
+Parallelism is the device mesh visible to JAX (data-parallel batch
+sharding; gradient all-reduce inserted by XLA).
+"""
+
+from __future__ import annotations
+
+import argparse
+
+
+def arg_parser():
+    p = argparse.ArgumentParser()
+    p.add_argument("--task", type=str, default="train",
+                   choices=["train", "calculate_q", "eval_rollout"])
+    p.add_argument("--start_time", type=str, default="2022-01-01 00:00:00")
+    p.add_argument("--end_time", type=str, default="2022-02-01 00:00:00")
+    p.add_argument("--data_dir", type=str, default=None)
+    p.add_argument("--grid", type=str, default="128x256")
+    p.add_argument("--batch_size", type=int, default=4)
+    p.add_argument("--steps", type=int, default=200,
+                   help="train steps / q samples / rollout length")
+    p.add_argument("--lr", type=float, default=5e-6)
+    p.add_argument("--loss_type", type=str, default="Possloss",
+                   choices=["Possloss", "LpLoss"])
+    p.add_argument("--two_step", action="store_true")
+    p.add_argument("--model_ckpt", type=str, default=None)
+    p.add_argument("--micro", action="store_true",
+                   help="micro model config (smoke runs)")
+    p.add_argument("--out_dir", type=str, default="output/forecast")
+    p.add_argument("--q_lead_hours", type=int, default=6)
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--bf16", action="store_true", default=True)
+    p.add_argument("--log_every", type=int, default=10)
+    return p.parse_args()
+
+
+def main():
+    args = arg_parser()
+    import os
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    import pandas as pd
+
+    # the axon TPU plugin ignores the JAX_PLATFORMS env var; honor it
+    if os.environ.get("JAX_PLATFORMS"):
+        jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
+
+    from vaevar_tpu.utils import compile_cache
+
+    compile_cache.enable()
+
+    from vaevar_tpu import channels
+    from vaevar_tpu import config as cfgs
+    from vaevar_tpu.config import FLOW_140
+    from vaevar_tpu.data.era5 import LocalNpyStore, SyntheticEra5
+    from vaevar_tpu.models.lgunet import LGUnet
+    from vaevar_tpu.train import checkpoint as ckpt
+    from vaevar_tpu.train.forecast_trainer import (
+        calculate_q,
+        make_forecast_train_step,
+        multi_step_predict,
+    )
+    from vaevar_tpu.utils import metrics as M
+    from vaevar_tpu.utils.logger import get_logger
+    from vaevar_tpu.utils.meters import MetricLogger, ScalarWriter
+
+    hw = tuple(int(v) for v in args.grid.split("x"))
+    dtype = jnp.bfloat16 if args.bf16 else None
+    logger = get_logger("train_forecast", args.out_dir)
+
+    source = (
+        LocalNpyStore(args.data_dir, hw) if args.data_dir
+        else SyntheticEra5(hw=hw, seed=args.seed)
+    )
+    mean = channels.MEAN.reshape(-1, 1, 1)
+    std = channels.STD.reshape(-1, 1, 1)
+
+    def norm_state(ts):
+        return ((source.get_state(ts) - mean) / std).astype(np.float32)
+
+    def pair_iter(batch, lead_hours, n_targets=1):
+        """Yields normalized (inp, [tar1, ...]) batches of consecutive
+        lead-time frames (basemodel's one/two-step supervision,
+        model/model.py:212-260)."""
+        t = pd.Timestamp(args.start_time)
+        end = pd.Timestamp(args.end_time)
+        lead = pd.Timedelta(hours=lead_hours)
+        while True:
+            inps = []
+            tars = [[] for _ in range(n_targets)]
+            for _ in range(batch):
+                if t + n_targets * lead > end:
+                    return
+                inps.append(norm_state(t))
+                for s in range(n_targets):
+                    tars[s].append(norm_state(t + (s + 1) * lead))
+                t += pd.Timedelta(hours=6)
+            yield np.stack(inps), [np.stack(ts) for ts in tars]
+
+    base = cfgs.micro_config(img_size=hw) if args.micro else FLOW_140.replace(
+        img_size=hw
+    )
+    model_cfg = base.replace(dtype=dtype)
+    model = LGUnet(model_cfg)
+    if args.model_ckpt:
+        params = ckpt.restore(args.model_ckpt)
+    else:
+        from vaevar_tpu.utils.fast_init import fast_init
+
+        params = jax.device_put(
+            fast_init(model, jnp.zeros((1, 69, *hw)), seed=args.seed)
+        )
+
+    if args.task == "calculate_q":
+        pairs = (
+            (inp, tars[0])
+            for inp, tars in pair_iter(args.batch_size, args.q_lead_hours)
+        )
+        q = calculate_q(model.apply, params, pairs)
+        # physical-units variance like the reference q assets
+        q_phys = q * (channels.STD.reshape(-1, 1, 1) ** 2)
+        os.makedirs(args.out_dir, exist_ok=True)
+        path = os.path.join(args.out_dir, "new_q.npy")
+        # (T-1, 69) per-lead channel means, the load_q_matrix q_type=1 format
+        np.save(path, q_phys.mean(axis=(1, 2))[None])
+        np.save(os.path.join(args.out_dir, "q_full.npy"), q_phys)
+        logger.info(f"Q-matrix saved to {path}; channel-mean q[z500]="
+                    f"{float(q_phys.mean(axis=(1, 2))[11]):.4g}")
+        return
+
+    if args.task == "eval_rollout":
+        x0 = jnp.asarray(norm_state(pd.Timestamp(args.start_time))[None])
+        preds = multi_step_predict(model.apply, params, x0, args.steps)
+        t = pd.Timestamp(args.start_time)
+        for s in range(args.steps):
+            t += pd.Timedelta(hours=6)
+            gt = jnp.asarray(norm_state(t)[None])
+            wrmse = M.weighted_rmse(preds[s], gt) * jnp.asarray(channels.STD)
+            logger.info(
+                f"lead {(s + 1) * 6:4d}h: z500 {float(wrmse[11]):.4g} "
+                f"t850 {float(wrmse[66]):.4g} t2m {float(wrmse[2]):.4g}"
+            )
+        return
+
+    # --- task == train ----------------------------------------------------
+    init_fn, train_step = make_forecast_train_step(
+        model.apply,
+        loss_type=args.loss_type,
+        lr=args.lr,
+        total_steps=args.steps,
+        two_step=args.two_step,
+        out_shape=(2 * channels.N_CHANNELS, *hw),
+    )
+    trainable, opt_state = init_fn(params)
+    step_j = jax.jit(train_step, donate_argnums=(0, 1))
+
+    writer = ScalarWriter(args.out_dir)
+    ml = MetricLogger(logger=logger)
+    it = pair_iter(args.batch_size, 6, n_targets=2 if args.two_step else 1)
+    for step, (inp, tars) in enumerate(ml.log_every(it, args.log_every,
+                                                    header="train")):
+        if step >= args.steps:
+            break
+        trainable, opt_state, loss = step_j(
+            trainable, opt_state, jnp.asarray(inp),
+            [jnp.asarray(t) for t in tars],
+        )
+        ml.update(loss=float(loss))
+        writer.add_scalar("loss", float(loss), step)
+    ckpt.save(os.path.join(args.out_dir, "checkpoint_latest"),
+              trainable["model"])
+    logger.info(f"saved checkpoint to {args.out_dir}/checkpoint_latest")
+
+
+if __name__ == "__main__":
+    main()

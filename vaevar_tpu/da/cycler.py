@@ -52,6 +52,7 @@ class CycledDA:
     work_dir: str = "da_cycle_results/run"
     seed: int = 0
     mask_dir: Optional[str] = None
+    coeff_dir: Optional[str] = None  # Q-matrix / B-matrix asset dir
     mask_eval: Optional[np.ndarray] = None  # obs-space holdout (C_obs, H, W)
     mesh: object = None  # jax.sharding.Mesh for spatially-sharded solves
     verbose: bool = True
@@ -64,7 +65,8 @@ class CycledDA:
         hw = self.cfg.grid_hw
         obs_var = obs_mod.obs_error_variance(self.cfg.obs_std, self.cfg.modify_tp)
         q = obs_mod.load_q_matrix(
-            self.mask_dir or ".", self.cfg.q_type, self.cfg.da_win, hw
+            self.coeff_dir or self.mask_dir or ".", self.cfg.q_type,
+            self.cfg.da_win, hw
         ) if self.cfg.da_win > 1 else None
         self.R = obs_mod.build_R(obs_var, q, self.cfg.da_win, hw)
         self.is_real_obs = self.cfg.obs_type.startswith("real")

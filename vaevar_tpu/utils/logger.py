@@ -20,6 +20,7 @@ def get_logger(name: str, run_dir: str | None = None, rank: int = 0,
     if logger.handlers:
         return logger
     logger.setLevel(logging.INFO if rank == 0 else logging.WARNING)
+    logger.propagate = False  # avoid duplicate lines via the root logger
     fmt = logging.Formatter(
         "[%(asctime)s %(name)s %(levelname)s] %(message)s", "%H:%M:%S"
     )
