@@ -18,6 +18,8 @@ from __future__ import annotations
 import argparse
 import os
 
+import numpy as np
+
 
 def arg_parser():
     p = argparse.ArgumentParser()
@@ -37,6 +39,9 @@ def arg_parser():
     p.add_argument("--obs_type", type=str, default="column_random_0001")
     p.add_argument("--use_eval", action="store_true",
                    help="hold out obs cells and report obs-space error")
+    p.add_argument("--mask_eval", type=str, default=None,
+                   help="path to an eval-holdout mask .npy (C_obs, H, W); "
+                        "synthetic 20%% holdout if omitted")
     p.add_argument("--reports_dir", type=str, default=None,
                    help="station-report JSON dir for real_* obs types; "
                         "synthetic station network if omitted")
@@ -234,6 +239,8 @@ def main():
             out_hw=hw,
         ) if args.da_mode == "sc4dvar" else None,
         reports_source=reports_source,
+        mask_eval=(np.load(args.mask_eval).astype("float32")
+                   if args.mask_eval else None),
         coeff_dir=args.coeff_dir,
         mesh=mesh,
         work_dir=os.path.join(args.work_dir, name),

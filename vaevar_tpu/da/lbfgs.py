@@ -65,7 +65,9 @@ def lbfgs_minimize(
     x, state, grad = jax.lax.while_loop(cond, step, (x0, init_state, zero_grad))
     return LBFGSResult(
         x=x,
-        value=fun(x),
+        # the linesearch already evaluated f at the accepted point; reuse it
+        # instead of paying one more decoder forward per segment
+        value=optax.tree_utils.tree_get(state, "value"),
         grad_norm=optax.tree_utils.tree_norm(grad),
         n_iters=optax.tree_utils.tree_get(state, "count"),
     )
