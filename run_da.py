@@ -194,7 +194,14 @@ def main():
     flow_integrate = make_integrate(flow.apply, model_hw=shw)
 
     if args.forecast_ckpt or (args.fast_init and hw != shw):
-        fc_cfg = FORECAST_025.replace(dtype=dtype)
+        if args.micro:
+            fc_base = cfgs.micro_config(img_size=hw)
+        elif hw == FORECAST_025.img_size:
+            fc_base = FORECAST_025
+        else:
+            fc_base = fit_grid(FLOW_140.replace(attn_type="rope",
+                                                lg_full_attn_first=True), hw)
+        fc_cfg = fc_base.replace(dtype=dtype)
         fc = LGUnet(fc_cfg)
         forecast_params = (
             ckpt.restore(args.forecast_ckpt) if args.forecast_ckpt

@@ -181,6 +181,34 @@ def make_vae4dvar_cost_reduced(decoder_apply: Callable, obs_coeff: float = 1.0,
     return cost, decode_to_state, cost_parts
 
 
+def make_sc4dvar_cost_reduced(increment: Callable, obs_coeff: float = 1.0):
+    """3D-Var (da_win=1) sc4dvar cost on the REDUCED obs quadratic: the CVT
+    output is nearest-upsampled (da_4dvar.py:928, F.interpolate default), so
+    the same per-cell reduction as vae4dvar applies. `increment(w)` is
+    CVTransform.increment: B^1/2 w on the solver grid."""
+
+    def to_state(w, bundle: ReducedObs, params):
+        del params
+        e = increment(w)
+        return bundle.xb + resize_nearest(e, bundle.xb.shape[-2:])
+
+    def obs_quad(w, bundle: ReducedObs):
+        e = increment(w)
+        return 0.5 * (
+            jnp.sum(bundle.a * e * e) - 2.0 * jnp.sum(bundle.b * e) + bundle.c
+        )
+
+    def cost(w, bundle: ReducedObs, params):
+        del params
+        return 0.5 * jnp.sum(w**2) + obs_coeff * obs_quad(w, bundle)
+
+    def cost_parts(w, bundle: ReducedObs, params):
+        del params
+        return 0.5 * jnp.sum(w**2), obs_coeff * obs_quad(w, bundle)
+
+    return cost, to_state, cost_parts
+
+
 def make_sc4dvar_cost(
     transform: Callable,
     flow_apply: Callable | None = None,

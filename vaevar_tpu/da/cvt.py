@@ -92,6 +92,12 @@ class CVTransform:
 
     def __call__(self, u, xb):
         """u: (69, nlat, nlon) control; xb: (69, *out_hw) background."""
+        return resize_nearest(self.increment(u), self.out_hw) + xb
+
+    def increment(self, u):
+        """B^1/2 u on the solver grid, before the nearest upsample
+        (da_4dvar.py:878-926). Exposed separately so 3D-Var can use the
+        exact reduced obs quadratic (cost.ReducedObs)."""
         b = self.b
         nlev = N_LEVELS
 
@@ -150,4 +156,4 @@ class CVTransform:
             ],
             axis=0,
         )
-        return resize_nearest(recon, self.out_hw) + xb
+        return recon

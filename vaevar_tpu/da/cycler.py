@@ -100,9 +100,16 @@ class CycledDA:
     @property
     def _use_reduced_obs(self):
         # 3D-Var + per-channel obs + nearest upsample: the obs quadratic
-        # reduces exactly onto the solver grid (cost.ReducedObs)
-        return (self.cfg.da_mode == "vae4dvar" and self.cfg.da_win == 1
-                and self._interp is None)
+        # reduces exactly onto the solver grid (cost.ReducedObs). Applies to
+        # both vae4dvar (decoder_hr nearest, nf_model/vae.py:90) and sc4dvar
+        # (CVT nearest upsample, da_4dvar.py:928).
+        if self.cfg.da_win != 1 or self._interp is not None:
+            return False
+        if self.cfg.da_mode == "vae4dvar":
+            return True
+        return self.cfg.da_mode == "sc4dvar" and hasattr(
+            self.cvt, "increment"
+        )
 
     def _build_solver(self):
         cfg = self.cfg
@@ -130,11 +137,19 @@ class CycledDA:
             )
         if cfg.da_mode == "sc4dvar":
             assert self.cvt is not None
-            c, to_state, parts = cost_mod.make_sc4dvar_cost(
-                self.cvt, self.flow_apply, flow_hw=cfg.solver_hw,
-                da_win=cfg.da_win, obs_coeff=cfg.obs_coeff,
-                interp_matrix=self._interp,
-            )
+            if self._use_reduced_obs:
+                c, to_state, parts = cost_mod.make_sc4dvar_cost_reduced(
+                    self.cvt.increment, obs_coeff=cfg.obs_coeff,
+                )
+                self._reduce_obs = jax.jit(
+                    lambda b: cost_mod.reduce_obs(b, cfg.solver_hw)
+                )
+            else:
+                c, to_state, parts = cost_mod.make_sc4dvar_cost(
+                    self.cvt, self.flow_apply, flow_hw=cfg.solver_hw,
+                    da_win=cfg.da_win, obs_coeff=cfg.obs_coeff,
+                    interp_matrix=self._interp,
+                )
             # reference uses max_iter=5 per segment for sc4dvar
             # (da_4dvar.py:1119)
             return VariationalSolver(
@@ -298,6 +313,8 @@ class CycledDA:
             )
         elif mode == "sc4dvar":
             bundle = ObsBundle(xb=xb, yo=yo, H=H, R=R)
+            if self._use_reduced_obs:
+                bundle = self._reduce_obs(bundle)
             w0 = jnp.zeros((channels.N_CHANNELS, *cfg.solver_hw), jnp.float32)
             _, xa, diag = self._solver.solve(
                 w0, bundle, self._params, nit=cfg.nit, gt=gt,
