@@ -134,6 +134,13 @@ class TestVae4dvarSolve:
         assert j1 < j0
         # background equals analysis at z=0; J must strictly improve
         assert diag.loss_obs[-1] < diag.loss_obs[0]
+        # fused (diagnostics-free) path follows the identical optimizer
+        # trajectory: L-BFGS state persists across segments exactly like
+        # one continuous run (torch-LBFGS semantics, da_4dvar.py:1240,1298)
+        z_f, xa_f, _ = solver.solve(z0, bundle, mp, nit=2, gt=None,
+                                    verbose=False)
+        np.testing.assert_allclose(np.asarray(z_f), np.asarray(z), rtol=2e-4,
+                                   atol=2e-4)
 
     def test_sc4dvar_cost_decreases(self):
         src = SyntheticEra5(hw=HW, seed=4)

@@ -147,3 +147,23 @@ class TestLBFGS:
 
         res = lbfgs_minimize(f, jnp.ones(4) * 3, max_iters=3)
         assert int(res.n_iters) <= 3
+
+    def test_state_continuation_matches_single_run(self):
+        """Two 5-iter segments with carried state == one 10-iter run (the
+        reference persists torch-LBFGS state across its Nit outer
+        iterations, da_4dvar.py:1240,1298)."""
+
+        def f(x):
+            return (1 - x[0]) ** 2 + 100 * (x[1] - x[0] ** 2) ** 2
+
+        x0 = jnp.asarray([-1.2, 1.0])
+        r_full = lbfgs_minimize(f, x0, max_iters=10)
+        r1 = lbfgs_minimize(f, x0, max_iters=5)
+        r2 = lbfgs_minimize(f, r1.x, max_iters=5, init_state=r1.state)
+        assert int(r2.n_iters) == int(r_full.n_iters) == 10
+        np.testing.assert_allclose(
+            np.asarray(r2.x), np.asarray(r_full.x), rtol=1e-6
+        )
+        # fresh state instead would diverge from the single-run trajectory
+        r2_fresh = lbfgs_minimize(f, r1.x, max_iters=5)
+        assert not np.allclose(np.asarray(r2_fresh.x), np.asarray(r_full.x))

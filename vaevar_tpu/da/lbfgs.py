@@ -1,16 +1,24 @@
 """On-device L-BFGS with strong-Wolfe line search (jittable, pure).
 
 TPU-native replacement for the reference's torch.optim.LBFGS
-(history_size=10, line_search_fn="strong_wolfe"; da_4dvar.py:1119,1240):
-the whole minimization — two-loop recursion, zoom line search, rollout
-forward+reverse AD inside the cost closure — compiles to a single XLA
-program via `lax.while_loop`, so the cycled DA inner loop never leaves the
-chip. Built on optax's lbfgs transform with zoom (strong-Wolfe) linesearch.
+(history_size=10, max_iter=10, line_search_fn="strong_wolfe";
+da_4dvar.py:1119,1240): the whole minimization — two-loop recursion, zoom
+line search, rollout forward+reverse AD inside the cost closure — compiles
+to a single XLA program via `lax.while_loop`, so the cycled DA inner loop
+never leaves the chip. Built on optax's lbfgs transform with zoom
+(strong-Wolfe) linesearch.
+
+The reference instantiates ONE torch LBFGS per analysis and calls
+`.step(closure)` Nit times (da_4dvar.py:1240,1298), so curvature history
+and step scaling PERSIST across the outer diagnostic iterations. Mirrored
+here: `lbfgs_minimize` accepts `init_state` (the state returned by a
+previous segment) and runs `max_iters` ADDITIONAL quasi-Newton iterations
+from it.
 """
 
 from __future__ import annotations
 
-from typing import Callable, NamedTuple
+from typing import Any, Callable, NamedTuple
 
 import jax
 import jax.numpy as jnp
@@ -22,6 +30,22 @@ class LBFGSResult(NamedTuple):
     value: jax.Array
     grad_norm: jax.Array
     n_iters: jax.Array
+    state: Any  # optax state; feed back via init_state to continue
+
+
+def _make_opt(history: int, max_linesearch_steps: int):
+    return optax.lbfgs(
+        memory_size=history,
+        linesearch=optax.scale_by_zoom_linesearch(
+            max_linesearch_steps=max_linesearch_steps,
+            initial_guess_strategy="one",
+        ),
+    )
+
+
+def lbfgs_init_state(x0, history: int = 10, max_linesearch_steps: int = 25):
+    """Fresh optimizer state for `lbfgs_minimize(..., init_state=...)`."""
+    return _make_opt(history, max_linesearch_steps).init(x0)
 
 
 def lbfgs_minimize(
@@ -31,18 +55,17 @@ def lbfgs_minimize(
     history: int = 10,
     tol: float = 0.0,
     max_linesearch_steps: int = 25,
+    init_state=None,
 ) -> LBFGSResult:
     """Minimize `fun` from `x0`. Runs exactly like torch LBFGS semantics:
     up to `max_iters` quasi-Newton iterations with a strong-Wolfe zoom line
     search, stopping early on gradient norm <= tol. Jit-safe.
+
+    With `init_state` (from a previous result's `.state`), continues the
+    SAME minimization — curvature pairs, step scaling, and the cached
+    (value, grad) at x0 carry over, and `max_iters` more iterations run.
     """
-    opt = optax.lbfgs(
-        memory_size=history,
-        linesearch=optax.scale_by_zoom_linesearch(
-            max_linesearch_steps=max_linesearch_steps,
-            initial_guess_strategy="one",
-        ),
-    )
+    opt = _make_opt(history, max_linesearch_steps)
     value_and_grad = optax.value_and_grad_from_state(fun)
 
     def step(carry):
@@ -54,13 +77,16 @@ def lbfgs_minimize(
         x = optax.apply_updates(x, updates)
         return x, state, grad
 
+    if init_state is None:
+        init_state = opt.init(x0)
+    it0 = optax.tree_utils.tree_get(init_state, "count")
+
     def cond(carry):
         x, state, grad = carry
         it = optax.tree_utils.tree_get(state, "count")
         gnorm = optax.tree_utils.tree_norm(grad)
-        return (it == 0) | ((it < max_iters) & (gnorm > tol))
+        return (it == it0) | ((it < it0 + max_iters) & (gnorm > tol))
 
-    init_state = opt.init(x0)
     zero_grad = jax.tree_util.tree_map(jnp.zeros_like, x0)
     x, state, grad = jax.lax.while_loop(cond, step, (x0, init_state, zero_grad))
     return LBFGSResult(
@@ -70,4 +96,5 @@ def lbfgs_minimize(
         value=optax.tree_utils.tree_get(state, "value"),
         grad_norm=optax.tree_utils.tree_norm(grad),
         n_iters=optax.tree_utils.tree_get(state, "count"),
+        state=state,
     )

@@ -29,7 +29,7 @@ import numpy as np
 
 from vaevar_tpu import channels
 from vaevar_tpu.da.cost import ObsBundle
-from vaevar_tpu.da.lbfgs import lbfgs_minimize
+from vaevar_tpu.da.lbfgs import lbfgs_init_state, lbfgs_minimize
 from vaevar_tpu.utils import metrics as M
 
 
@@ -58,11 +58,19 @@ class VariationalSolver:
         self._mean = jnp.asarray(channels.MEAN, jnp.float32).reshape(-1, 1, 1)
         self._std = jnp.asarray(channels.STD, jnp.float32).reshape(-1, 1, 1)
 
-        def segment(x, bundle, params):
-            return lbfgs_minimize(
+        # the reference creates ONE torch LBFGS per analysis and calls
+        # .step() Nit times (da_4dvar.py:1240,1298): optimizer state carries
+        # across the outer diagnostic iterations. `segment` therefore
+        # threads the optax state through.
+        def seg_init(x):
+            return lbfgs_init_state(x, history=history)
+
+        def segment(x, state, bundle, params):
+            res = lbfgs_minimize(
                 lambda q: cost(q, bundle, params), x, max_iters=lbfgs_iters,
-                history=history,
-            ).x
+                history=history, init_state=state,
+            )
+            return res.x, res.state
 
         def diagnostics(x, bundle, params, gt0):
             xhat_n = (to_state(x, bundle, params) - self._mean) / self._std
@@ -74,9 +82,33 @@ class VariationalSolver:
             jb, jo = cost_parts(x, bundle, params)
             return wrmse, bias, jb, jo
 
+        self.seg_init = jax.jit(seg_init)
         self.segment = jax.jit(segment)
         self.diagnostics = jax.jit(diagnostics)
         self.to_state = jax.jit(to_state)
+        self._cost = cost
+        self._to_state_raw = to_state
+        self._lbfgs_iters = lbfgs_iters
+        self._history = history
+        self._fused_cache = {}
+
+    def fused_solve(self, nit: int):
+        """One jitted program for the whole solve when no per-iteration
+        diagnostics are requested: a single continuous L-BFGS run of
+        nit * lbfgs_iters quasi-Newton iterations + final to_state —
+        identical optimizer trajectory to the segmented path (the
+        reference's diagnostics between .step() calls don't touch state)."""
+        if nit not in self._fused_cache:
+
+            def run(x0, bundle, params):
+                res = lbfgs_minimize(
+                    lambda q: self._cost(q, bundle, params), x0,
+                    max_iters=nit * self._lbfgs_iters, history=self._history,
+                )
+                return res.x, self._to_state_raw(res.x, bundle, params)
+
+            self._fused_cache[nit] = jax.jit(run)
+        return self._fused_cache[nit]
 
     def solve(
         self,
@@ -93,7 +125,12 @@ class VariationalSolver:
             x0, bundle, params, gt = self._shard_inputs(x0, bundle, params, gt)
         diag = SolveDiagnostics()
         t0 = time.time()
+        if gt is None:  # no per-iter diagnostics: single fused program
+            x, xa = self.fused_solve(nit)(x0, bundle, params)
+            diag.seconds = time.time() - t0
+            return x, xa, diag
         x = x0
+        opt_state = self.seg_init(x0)
         for kk in range(nit + 1):
             if gt is not None:
                 wrmse, bias, jb, jo = self.diagnostics(x, bundle, params, gt[0])
@@ -110,7 +147,7 @@ class VariationalSolver:
                         flush=True,
                     )
             if kk < nit:
-                x = self.segment(x, bundle, params)
+                x, opt_state = self.segment(x, opt_state, bundle, params)
         diag.seconds = time.time() - t0
         return x, self.to_state(x, bundle, params), diag
 
