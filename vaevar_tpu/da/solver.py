@@ -88,9 +88,13 @@ class VariationalSolver:
         self.to_state = jax.jit(to_state)
         self._cost = cost
         self._to_state_raw = to_state
+        self._segment_raw = segment
+        self._seg_init_raw = seg_init
+        self._diagnostics_raw = diagnostics
         self._lbfgs_iters = lbfgs_iters
         self._history = history
         self._fused_cache = {}
+        self._scan_cache = {}
 
     def fused_solve(self, nit: int):
         """One jitted program for the whole solve when no per-iteration
@@ -109,6 +113,36 @@ class VariationalSolver:
 
             self._fused_cache[nit] = jax.jit(run)
         return self._fused_cache[nit]
+
+    def scan_solve(self, nit: int):
+        """One jitted program for the whole diagnostics-enabled solve:
+        lax.scan over the Nit segments with WRMSE/bias/Jb/Jo computed ON
+        DEVICE before each segment (+ once after the last), so the verbose
+        path costs zero host round-trips mid-solve. Same optimizer
+        trajectory as the segmented path; the per-iteration printout the
+        reference emits during optimization (da_4dvar.py:1269) is emitted
+        from the returned stacked diagnostics afterwards."""
+        if nit not in self._scan_cache:
+
+            def run(x0, bundle, params, gt0):
+                def body(carry, _):
+                    x, st = carry
+                    d = self._diagnostics_raw(x, bundle, params, gt0)
+                    x2, st2 = self._segment_raw(x, st, bundle, params)
+                    return (x2, st2), d
+
+                (xf, _), ds = jax.lax.scan(
+                    body, (x0, self._seg_init_raw(x0)), None, length=nit
+                )
+                d_last = self._diagnostics_raw(xf, bundle, params, gt0)
+                ds = jax.tree.map(
+                    lambda a, b: jnp.concatenate([a, b[None]]), ds,
+                    jax.tree.map(jnp.asarray, d_last),
+                )
+                return xf, self._to_state_raw(xf, bundle, params), ds
+
+            self._scan_cache[nit] = jax.jit(run)
+        return self._scan_cache[nit]
 
     def solve(
         self,
@@ -129,27 +163,28 @@ class VariationalSolver:
             x, xa = self.fused_solve(nit)(x0, bundle, params)
             diag.seconds = time.time() - t0
             return x, xa, diag
-        x = x0
-        opt_state = self.seg_init(x0)
+        # diagnostics requested: one scanned program, print afterwards
+        x, xa, (wrmse, bias, jb, jo) = self.scan_solve(nit)(
+            x0, bundle, params, gt[0]
+        )
+        wrmse, bias = np.asarray(wrmse), np.asarray(bias)
+        jb, jo = np.asarray(jb), np.asarray(jo)
         for kk in range(nit + 1):
-            if gt is not None:
-                wrmse, bias, jb, jo = self.diagnostics(x, bundle, params, gt[0])
-                diag.wrmse.append(np.asarray(wrmse))
-                diag.bias.append(np.asarray(bias))
-                diag.loss_reg.append(float(jb))
-                diag.loss_obs.append(float(jo))
-                if verbose:
-                    w = np.asarray(wrmse)
-                    print(
-                        f"[{name}] iter {kk}: z500 {w[11]:.4g} q500 {w[24]:.4g} "
-                        f"t2m {w[2]:.4g} t850 {w[66]:.4g} u500 {w[37]:.4g} "
-                        f"v500 {w[50]:.4g} Jb {float(jb):.4g} Jo {float(jo):.4g}",
-                        flush=True,
-                    )
-            if kk < nit:
-                x, opt_state = self.segment(x, opt_state, bundle, params)
+            diag.wrmse.append(wrmse[kk])
+            diag.bias.append(bias[kk])
+            diag.loss_reg.append(float(jb[kk]))
+            diag.loss_obs.append(float(jo[kk]))
+            if verbose:
+                w = wrmse[kk]
+                print(
+                    f"[{name}] iter {kk}: z500 {w[11]:.4g} q500 {w[24]:.4g} "
+                    f"t2m {w[2]:.4g} t850 {w[66]:.4g} u500 {w[37]:.4g} "
+                    f"v500 {w[50]:.4g} Jb {float(jb[kk]):.4g} "
+                    f"Jo {float(jo[kk]):.4g}",
+                    flush=True,
+                )
         diag.seconds = time.time() - t0
-        return x, self.to_state(x, bundle, params), diag
+        return x, xa, diag
 
     def _shard_inputs(self, x0, bundle, params, gt):
         """Commit solve inputs to (lat, lon) shardings; GSPMD propagates
