@@ -42,6 +42,7 @@ class LGUnetConfig:
     remat: bool = False  # jax.checkpoint each block (activation recompute)
     dtype: Any = None  # compute dtype (None => float32); params stay f32
     flash_min_seq: int = 4096  # windows with N >= this use chunked attention
+    fuse_blocks: bool = False  # fused Pallas Swin blocks (relbias enc/dec)
 
     @property
     def n_groups(self) -> int:

@@ -37,6 +37,7 @@ import numpy as np
 
 from vaevar_tpu.config import LGUnetConfig
 from vaevar_tpu.ops import attention as attn_ops
+from vaevar_tpu.ops import fused_block as fused_ops
 from vaevar_tpu.ops import rope as rope_ops
 from vaevar_tpu.ops import windows as win_ops
 
@@ -191,6 +192,61 @@ class Mlp(nn.Module):
         return _dense(self.dim, name="fc2", dtype=self.dtype)(x)
 
 
+class _DenseParams(nn.Module):
+    """Param-holder producing the exact tree of nn.Dense (kernel, bias)."""
+
+    in_dim: int
+    out_dim: int
+
+    @nn.compact
+    def __call__(self):
+        k = self.param("kernel", _trunc02, (self.in_dim, self.out_dim))
+        b = self.param("bias", nn.initializers.zeros, (self.out_dim,))
+        return k, b
+
+
+class _LNParams(nn.Module):
+    """Param-holder producing the exact tree of nn.LayerNorm."""
+
+    dim: int
+
+    @nn.compact
+    def __call__(self):
+        s = self.param("scale", nn.initializers.ones, (self.dim,))
+        b = self.param("bias", nn.initializers.zeros, (self.dim,))
+        return s, b
+
+
+class _AttnParams(nn.Module):
+    """Param-holder matching WindowAttention's relbias tree."""
+
+    dim: int
+    num_heads: int
+    window_size: tuple[int, int]
+
+    @nn.compact
+    def __call__(self):
+        qkv = _DenseParams(self.dim, 3 * self.dim, name="qkv")()
+        proj = _DenseParams(self.dim, self.dim, name="proj")()
+        wh, ww = self.window_size
+        T = (2 * wh - 1) * (2 * ww - 1)
+        tab = self.param("rel_bias_table", _trunc02, (T, self.num_heads))
+        return qkv, proj, tab
+
+
+class _MlpParams(nn.Module):
+    """Param-holder matching Mlp's tree (fc1, fc2)."""
+
+    dim: int
+    hidden: int
+
+    @nn.compact
+    def __call__(self):
+        fc1 = _DenseParams(self.dim, self.hidden, name="fc1")()
+        fc2 = _DenseParams(self.hidden, self.dim, name="fc2")()
+        return fc1, fc2
+
+
 class Block(nn.Module):
     """Pre-norm window-attention transformer block (Blocks.py:103-159)."""
 
@@ -204,9 +260,49 @@ class Block(nn.Module):
     mlp_ratio: float = 4.0
     dtype: Any = None
     flash_min_seq: int = 4096
+    fuse: bool = False  # fused Pallas block (ops/fused_block.py)
+
+    def _can_fuse(self) -> bool:
+        H, W = self.resolution
+        wh, ww = self.window_size
+        return (
+            self.fuse
+            and self.attn_type == "relbias"
+            and self.lora_rank == 0
+            and min(H, W) > min(wh, ww)  # no old-gen window clamp
+            and H % wh == 0
+            and W % ww == 0
+            # VMEM budget: block weights + (heads, TT, TT) logits must fit
+            # on-chip; excludes the embed_dim-1152 LG stages (their matmuls
+            # are already MXU-roofline under XLA)
+            and self.dim <= 384
+            and wh * W <= 1024
+        )
 
     @nn.compact
     def __call__(self, x):
+        if self._can_fuse():
+            (qkv_k, qkv_b), (proj_k, proj_b), tab = _AttnParams(
+                self.dim, self.num_heads, self.window_size, name="attn"
+            )()
+            n1s, n1b = _LNParams(self.dim, name="norm1")()
+            n2s, n2b = _LNParams(self.dim, name="norm2")()
+            hidden = int(self.dim * self.mlp_ratio)
+            (fc1_k, fc1_b), (fc2_k, fc2_b) = _MlpParams(
+                self.dim, hidden, name="mlp"
+            )()
+            params = dict(
+                ln1_scale=n1s, ln1_bias=n1b, qkv_kernel=qkv_k,
+                qkv_bias=qkv_b, proj_kernel=proj_k, proj_bias=proj_b,
+                ln2_scale=n2s, ln2_bias=n2b, fc1_kernel=fc1_k,
+                fc1_bias=fc1_b, fc2_kernel=fc2_k, fc2_bias=fc2_b,
+            )
+            if self.dtype is not None:
+                x = x.astype(self.dtype)
+            return fused_ops.fused_swin_block(
+                x, params, tab, window=self.window_size,
+                shift=self.shift_size, heads=self.num_heads, eps=1e-5,
+            )
         attn = WindowAttention(
             self.dim,
             self.num_heads,
@@ -286,6 +382,7 @@ class BlockStack(nn.Module):
             mlp_ratio=cfg.mlp_ratio,
             dtype=cfg.dtype,
             flash_min_seq=cfg.flash_min_seq,
+            fuse=cfg.fuse_blocks,
         )
         if self.shifted and self.depth % 2 == 0:
             body, length = _BlockPair, self.depth // 2
