@@ -55,12 +55,50 @@ class TestMetrics:
         pred = jnp.asarray(rng.normal(size=(1, 69, 33, 64)))
         gt = jnp.asarray(rng.normal(size=(1, 69, 33, 64)))
         m = metrics.Metrics()
-        wrmse = m.WRMSE(pred, gt, channels.STD)
+        wrmse = m.WRMSE(pred, gt, None, None, channels.STD)
         assert wrmse.shape == (69,)
         base = metrics.weighted_rmse(pred, gt)
         np.testing.assert_allclose(
             np.asarray(wrmse), np.asarray(base) * channels.STD, rtol=1e-6
         )
+
+    def test_metrics_recorder_expands_channels(self):
+        rng = np.random.default_rng(3)
+        pred = jnp.asarray(rng.normal(size=(1, 4, 33, 64)))
+        gt = jnp.asarray(rng.normal(size=(1, 4, 33, 64)))
+        clim = jnp.zeros((4, 33, 64))
+        rec = metrics.MetricsRecorder(
+            ["MSE", "MAE", "WRMSE", "NWRMSE", "Bias", "WACC", "Anomaly",
+             "Activity"]
+        )
+        out = rec.evaluate_batch(
+            {"pred": pred, "gt": gt, "clim_mean": clim,
+             "std": np.ones(4, np.float32)}
+        )
+        assert isinstance(out["MSE"], float) and isinstance(out["MAE"], float)
+        # per-channel metrics expand to name + channel index
+        for i in range(4):
+            assert f"WRMSE{i}" in out and f"WACC{i}" in out
+        assert out["WRMSE0"] > 0
+
+    def test_anomaly_reference_quirk_scalar_numerator(self):
+        """The reference's anomaly numerator is a scalar mean over ALL
+        dims (utils/metrics.py:132) — verify we replicate it by checking
+        the ratio structure against a manual computation."""
+        rng = np.random.default_rng(4)
+        p = jnp.asarray(rng.normal(size=(1, 3, 33, 64)))
+        t = jnp.asarray(rng.normal(size=(1, 3, 33, 64)))
+        got = np.asarray(metrics.weighted_anomaly(p, t))
+        w, _ = metrics.lat_weights(33)
+        w = w.reshape(1, 1, -1, 1)
+        pa = np.asarray(p) - np.mean(w * np.asarray(p), axis=(-1, -2),
+                                     keepdims=True)
+        ta = np.asarray(t) - np.mean(w * np.asarray(t), axis=(-1, -2),
+                                     keepdims=True)
+        nume = np.mean(w * pa * ta)
+        deno = np.sqrt(np.mean(w * pa**2, axis=(-1, -2))) * np.sqrt(
+            np.mean(w * ta**2, axis=(-1, -2)))
+        np.testing.assert_allclose(got, (nume / deno).mean(0), rtol=1e-5)
 
 
 class TestWindows:

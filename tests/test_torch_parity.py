@@ -307,3 +307,83 @@ class TestVAEParity:
         dec = vae.apply(params, jnp.asarray(z.numpy()), method=VAE.decoder)
         np.testing.assert_allclose(np.asarray(dec), dec_ref, atol=2e-4,
                                    rtol=2e-3)
+
+
+class TestMetricsParity:
+    """Our JAX metric library vs the reference torch implementation,
+    loaded directly from the snapshot (utils/metrics.py)."""
+
+    @pytest.fixture(scope="class")
+    def ref_metrics(self):
+        import importlib.util
+
+        spec = importlib.util.spec_from_file_location(
+            "ref_metrics", os.path.join(REF, "utils", "metrics.py")
+        )
+        mod = importlib.util.module_from_spec(spec)
+        spec.loader.exec_module(mod)
+        return mod
+
+    @pytest.fixture(scope="class")
+    def fields(self):
+        rng = np.random.default_rng(11)
+        pred = rng.normal(size=(2, 5, 721, 96)).astype(np.float32)
+        gt = rng.normal(size=(2, 5, 721, 96)).astype(np.float32)
+        return pred, gt
+
+    @pytest.mark.parametrize(
+        "region", ["all", "northern", "southern", "tropics"]
+    )
+    def test_wrmse_bias_acc_activity_anomaly(self, ref_metrics, fields,
+                                             region):
+        import torch
+
+        from vaevar_tpu.utils import metrics as M
+
+        pred, gt = fields
+        tp, tg = torch.tensor(pred), torch.tensor(gt)
+
+        want = ref_metrics.type_weighted_rmse_torch(tp, tg, region).numpy()
+        got = np.asarray(M.weighted_rmse(jnp.asarray(pred), jnp.asarray(gt),
+                                         region))
+        np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-6)
+
+        want = ref_metrics.type_weighted_bias_torch(tp - tg, region).numpy()
+        got = np.asarray(M.weighted_bias(jnp.asarray(pred - gt), region))
+        np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-6)
+
+        want = ref_metrics.type_weighted_activity_torch(tp, region).numpy()
+        got = np.asarray(M.weighted_activity(jnp.asarray(pred), region))
+        np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-6)
+
+        want = ref_metrics.type_weighted_anomaly_torch(tp, tg, region).numpy()
+        got = np.asarray(M.weighted_anomaly(jnp.asarray(pred),
+                                            jnp.asarray(gt), region))
+        np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-6)
+
+        want = ref_metrics.type_weighted_acc_torch(tp, tg, region).numpy()
+        got = np.asarray(M.weighted_acc(jnp.asarray(pred), jnp.asarray(gt),
+                                        region))
+        np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-6)
+
+    def test_metrics_recorder_matches_reference(self, ref_metrics, fields):
+        import torch
+
+        from vaevar_tpu.utils import metrics as M
+
+        pred, gt = fields
+        clim = np.zeros_like(pred[0])
+        std = np.ones(pred.shape[1], np.float32)
+        names = ["MSE", "MAE", "WRMSE", "Bias", "WACC", "Activity"]
+        ref_rec = ref_metrics.MetricsRecorder(names)
+        want = ref_rec.evaluate_batch(
+            {"pred": torch.tensor(pred), "gt": torch.tensor(gt),
+             "clim_mean": torch.tensor(clim), "std": torch.tensor(std)}
+        )
+        got = M.MetricsRecorder(names).evaluate_batch(
+            {"pred": jnp.asarray(pred), "gt": jnp.asarray(gt),
+             "clim_mean": jnp.asarray(clim), "std": std}
+        )
+        assert set(got) == set(want)
+        for k in want:
+            np.testing.assert_allclose(got[k], want[k], rtol=1e-4, atol=1e-6)
