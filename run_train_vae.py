@@ -44,6 +44,10 @@ def main():
 
     compile_cache.enable()
 
+    from vaevar_tpu.parallel.mesh import init_distributed
+
+    init_distributed()  # multihost no-op unless SLURM/coordinator env set
+
     from vaevar_tpu.config import FLOW_140, VAE_DECODER, VAE_ENCODER
     from vaevar_tpu.data.era5 import LocalNpyStore, SyntheticEra5
     from vaevar_tpu.data.nmc import NMCSequenceDataset, batched_loader

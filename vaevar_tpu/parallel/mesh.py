@@ -14,11 +14,39 @@ Params stay replicated (the backbone is ~0.2-0.9 GB, far under HBM).
 
 from __future__ import annotations
 
+import os
 from typing import Mapping
 
 import jax
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def init_distributed(coordinator: str | None = None,
+                     num_processes: int | None = None,
+                     process_id: int | None = None) -> int:
+    """Multihost bootstrap — the reference's SLURM-env
+    `init_distributed_mode` (utils/misc.py:296-323) rebuilt for JAX.
+
+    On TPU pods `jax.distributed.initialize()` autodetects everything; on
+    other launchers pass (or export JAX_COORDINATOR_ADDRESS /
+    SLURM_NTASKS / SLURM_PROCID). No-op in single-process runs — returns
+    the process index either way.
+    """
+    env = os.environ
+    coordinator = coordinator or env.get("JAX_COORDINATOR_ADDRESS")
+    if num_processes is None and "SLURM_NTASKS" in env:
+        num_processes = int(env["SLURM_NTASKS"])
+    if process_id is None and "SLURM_PROCID" in env:
+        process_id = int(env["SLURM_PROCID"])
+    multiproc = (num_processes or 1) > 1 or coordinator is not None
+    if multiproc and jax.process_count() == 1:
+        jax.distributed.initialize(
+            coordinator_address=coordinator,
+            num_processes=num_processes,
+            process_id=process_id,
+        )
+    return jax.process_index()
 
 
 def make_mesh(axes: Mapping[str, int] | None = None, devices=None) -> Mesh:
