@@ -11,7 +11,11 @@
 //   vvl_create(capacity, sample_floats, n_threads) -> handle
 //   vvl_set_norm(handle, mean*, std*, n_channels, chan_stride)
 //   vvl_submit(handle, path)            // enqueue one file (one sample slot)
+//   vvl_submit_tagged(handle, path, tag) // enqueue with a caller tag
 //   vvl_next(handle, out_ptr, timeout_ms) -> 1 ok, 0 timeout, -1 error/eof
+//   vvl_next_tagged(handle, out_ptr, tag_out*, timeout_ms) // same + the
+//       submit tag of the delivered sample (completion order is NOT submit
+//       order across reader threads; tags let callers reassemble)
 //   vvl_pending(handle)                 // submitted - delivered
 //   vvl_destroy(handle)
 
@@ -30,6 +34,7 @@ namespace {
 
 struct Sample {
   std::vector<float> data;
+  long tag = -1;
   bool ok = false;
 };
 
@@ -107,17 +112,17 @@ class Loader {
     chan_stride_ = chan_stride;
   }
 
-  void submit(const char* path) {
+  void submit(const char* path, long tag = -1) {
     {
       std::lock_guard<std::mutex> lk(mu_);
-      pending_paths_.emplace_back(path);
+      pending_paths_.emplace_back(path, tag);
       ++submitted_;
     }
     cv_work_.notify_one();
   }
 
   // Returns 1 ok, 0 timeout, -1 load error.
-  int next(float* out, int timeout_ms) {
+  int next(float* out, int timeout_ms, long* tag_out = nullptr) {
     std::unique_lock<std::mutex> lk(mu_);
     if (!cv_ready_.wait_for(lk, std::chrono::milliseconds(timeout_ms),
                             [this] { return !ready_.empty() || stop_; }))
@@ -128,6 +133,7 @@ class Loader {
     ++delivered_;
     lk.unlock();
     cv_space_.notify_one();
+    if (tag_out) *tag_out = s.tag;
     if (!s.ok) return -1;
     memcpy(out, s.data.data(), sample_floats_ * sizeof(float));
     return 1;
@@ -141,16 +147,17 @@ class Loader {
  private:
   void worker() {
     while (true) {
-      std::string path;
+      std::pair<std::string, long> job;
       {
         std::unique_lock<std::mutex> lk(mu_);
         cv_work_.wait(lk, [this] { return stop_ || !pending_paths_.empty(); });
         if (stop_) return;
-        path = std::move(pending_paths_.front());
+        job = std::move(pending_paths_.front());
         pending_paths_.pop_front();
       }
       Sample s;
-      s.ok = read_npy_f32(path, s.data, sample_floats_);
+      s.tag = job.second;
+      s.ok = read_npy_f32(job.first, s.data, sample_floats_);
       if (s.ok && !mean_.empty() && chan_stride_ > 0) {
         const size_t C = mean_.size();
         for (size_t c = 0; c < C; ++c) {
@@ -180,7 +187,7 @@ class Loader {
   const size_t sample_floats_;
   mutable std::mutex mu_;
   std::condition_variable cv_work_, cv_ready_, cv_space_;
-  std::deque<std::string> pending_paths_;
+  std::deque<std::pair<std::string, long>> pending_paths_;
   std::deque<Sample> ready_;
   std::vector<std::thread> workers_;
   std::vector<float> mean_, std_;
@@ -207,8 +214,16 @@ void vvl_submit(void* h, const char* path) {
   static_cast<Loader*>(h)->submit(path);
 }
 
+void vvl_submit_tagged(void* h, const char* path, long tag) {
+  static_cast<Loader*>(h)->submit(path, tag);
+}
+
 int vvl_next(void* h, float* out, int timeout_ms) {
   return static_cast<Loader*>(h)->next(out, timeout_ms);
+}
+
+int vvl_next_tagged(void* h, float* out, long* tag_out, int timeout_ms) {
+  return static_cast<Loader*>(h)->next(out, timeout_ms, tag_out);
 }
 
 long vvl_pending(void* h) { return static_cast<Loader*>(h)->pending(); }

@@ -56,6 +56,10 @@ def arg_parser():
     p.add_argument("--forecast_ckpt", type=str, default=None)
     p.add_argument("--data_dir", type=str, default=None,
                    help="LocalNpyStore root; synthetic source if omitted")
+    p.add_argument("--data_layout", type=str, default="state",
+                   choices=["state", "reference"],
+                   help="state: one (69,H,W) npy per timestamp; reference: "
+                        "the upstream per-variable-per-level archive layout")
     p.add_argument("--grid", type=str, default="721x1440")
     p.add_argument("--solver_grid", type=str, default="128x256")
     p.add_argument("--work_dir", type=str, default="da_cycle_results")
@@ -108,7 +112,9 @@ def main():
     from vaevar_tpu.da.cvt import BMatrixAssets, CVTransform
     from vaevar_tpu.da.cycler import CycledDA
     from vaevar_tpu.da.dynamics import make_integrate
-    from vaevar_tpu.data.era5 import LocalNpyStore, SyntheticEra5
+    from vaevar_tpu.data.era5 import (
+        LocalNpyStore, ReferenceLayoutStore, SyntheticEra5,
+    )
     from vaevar_tpu.models.lgunet import LGUnet
     from vaevar_tpu.train import checkpoint as ckpt
 
@@ -155,7 +161,9 @@ def main():
         solver_hw=shw,
     )
 
-    if args.data_dir:
+    if args.data_dir and args.data_layout == "reference":
+        source = ReferenceLayoutStore(args.data_dir, hw)
+    elif args.data_dir:
         source = LocalNpyStore(args.data_dir, hw)
     else:
         source = SyntheticEra5(hw=hw, seed=args.seed)

@@ -71,3 +71,56 @@ class TestNativeLoader:
         with pytest.raises(IOError):
             pf.next()
         pf.close()
+
+
+class TestTaggedDelivery:
+    def test_tags_reassemble_out_of_order_completions(self, built, tmp_path):
+        shape = (4, 8)
+        want = {}
+        pf = native_loader.NativePrefetcher(shape, capacity=32, n_threads=4)
+        for i in range(16):
+            x = np.full(shape, float(i), np.float32)
+            p = str(tmp_path / f"t{i}.npy")
+            np.save(p, x)
+            want[i] = x
+            pf.submit(p, tag=i)
+        got = {}
+        for _ in range(16):
+            arr, tag = pf.next_tagged()
+            got[tag] = arr
+        pf.close()
+        assert set(got) == set(want)
+        for i in want:
+            np.testing.assert_array_equal(got[i], want[i])
+
+
+class TestReferenceLayoutStore:
+    def test_composites_reference_archive_layout(self, built, tmp_path):
+        import pandas as pd
+
+        from vaevar_tpu import channels
+        from vaevar_tpu.data.era5 import ReferenceLayoutStore
+
+        hw = (6, 8)
+        ts = pd.Timestamp("2022-03-04 06:00:00")
+        rng = np.random.default_rng(0)
+        frame = rng.normal(size=(69, *hw)).astype(np.float32)
+        # write the reference's per-variable files
+        root = tmp_path / "arc"
+        sdir = root / "single" / "2022" / "2022-03-04"
+        mdir = root / "2022" / "2022-03-04"
+        sdir.mkdir(parents=True)
+        mdir.mkdir(parents=True)
+        for i, v in enumerate(channels.SINGLE_LEVEL_VNAMES):
+            np.save(sdir / f"06:00:00-{v}.npy", frame[i])
+        c = 4
+        for v in channels.MULTI_LEVEL_VNAMES:
+            for lev in channels.PRESSURE_LEVELS:
+                np.save(mdir / f"06:00:00-{v}-{lev}.0.npy", frame[c])
+                c += 1
+        for use_native in (False, True):
+            store = ReferenceLayoutStore(str(root), hw=hw,
+                                         use_native=use_native)
+            assert store.has(ts)
+            got = store.get_state(ts)
+            np.testing.assert_array_equal(got, frame)

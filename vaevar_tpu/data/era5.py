@@ -49,6 +49,75 @@ class LocalNpyStore:
         return os.path.exists(self.path(ts))
 
 
+class ReferenceLayoutStore:
+    """Reads the reference's per-variable-per-level archive layout from a
+    local root — the exact URL scheme of the petrel loader
+    (dataset/dataset.py:429-434, init_file_list :185-190):
+
+        multi-level : <root>/<year>/<date>/<time>-<vname>-<level>.0.npy
+        single-level: <root>/single/<year>/<date>/<time>-<vname>.npy
+
+    so an archive mirrored from the reference's S3 buckets works
+    unchanged. Frames composite to the canonical (69, H, W) channel order
+    (channels.CHANNEL_NAMES) in PHYSICAL units; the 69 per-frame file
+    reads fan out over the native C++ loader pool when it is available.
+    """
+
+    def __init__(self, root: str, hw=(721, 1440), use_native: bool = True):
+        self.root = root
+        self.hw = hw
+        self._pool = None
+        if use_native:
+            try:
+                from vaevar_tpu.data import native_loader
+
+                self._pool = native_loader.NativePrefetcher(
+                    sample_shape=hw, capacity=16, n_threads=8
+                )
+            except Exception:
+                self._pool = None
+
+    def _stamp_parts(self, ts):
+        date = ts.strftime("%Y-%m-%d")
+        time = ts.strftime("%H:%M:%S")
+        return str(ts.year), date, time
+
+    def _paths(self, ts) -> list[str]:
+        year, date, time = self._stamp_parts(ts)
+        paths = [
+            os.path.join(self.root, "single", year, date,
+                         f"{time}-{v}.npy")
+            for v in channels.SINGLE_LEVEL_VNAMES
+        ]
+        for v in channels.MULTI_LEVEL_VNAMES:
+            for lev in channels.PRESSURE_LEVELS:
+                paths.append(
+                    os.path.join(self.root, year, date,
+                                 f"{time}-{v}-{lev}.0.npy")
+                )
+        return paths
+
+    def get_state(self, ts) -> np.ndarray:
+        paths = self._paths(ts)
+        out = np.empty((len(paths), *self.hw), np.float32)
+        if self._pool is not None:
+            for i, p in enumerate(paths):
+                self._pool.submit(p, tag=i)
+            for _ in range(len(paths)):
+                got = self._pool.next_tagged()
+                if got is None:
+                    raise IOError(f"native loader timed out on {ts}")
+                arr, tag = got
+                out[tag] = arr
+        else:
+            for i, p in enumerate(paths):
+                out[i] = np.load(p).astype(np.float32)
+        return out
+
+    def has(self, ts) -> bool:
+        return all(os.path.exists(p) for p in self._paths(ts))
+
+
 def _smooth_noise(rng: np.random.Generator, hw, cutoff_frac=0.12) -> np.ndarray:
     """Band-limited unit-variance random field."""
     H, W = hw

@@ -41,6 +41,16 @@ def _load():
         ctypes.c_long,
     ]
     lib.vvl_submit.argtypes = [ctypes.c_void_p, ctypes.c_char_p]
+    lib.vvl_submit_tagged.argtypes = [
+        ctypes.c_void_p, ctypes.c_char_p, ctypes.c_long,
+    ]
+    lib.vvl_next_tagged.restype = ctypes.c_int
+    lib.vvl_next_tagged.argtypes = [
+        ctypes.c_void_p,
+        ctypes.POINTER(ctypes.c_float),
+        ctypes.POINTER(ctypes.c_long),
+        ctypes.c_int,
+    ]
     lib.vvl_next.restype = ctypes.c_int
     lib.vvl_next.argtypes = [
         ctypes.c_void_p,
@@ -98,8 +108,11 @@ class NativePrefetcher:
                 chan_stride,
             )
 
-    def submit(self, path: str):
-        self._lib.vvl_submit(self._h, path.encode())
+    def submit(self, path: str, tag: int | None = None):
+        if tag is None:
+            self._lib.vvl_submit(self._h, path.encode())
+        else:
+            self._lib.vvl_submit_tagged(self._h, path.encode(), tag)
 
     def next(self, timeout_ms: int = 30_000) -> np.ndarray | None:
         out = np.empty(self._n, np.float32)
@@ -108,6 +121,23 @@ class NativePrefetcher:
         )
         if r == 1:
             return out.reshape(self.sample_shape)
+        if r == 0:
+            return None
+        raise IOError("native loader failed to read a sample")
+
+    def next_tagged(
+        self, timeout_ms: int = 30_000
+    ) -> tuple[np.ndarray, int] | None:
+        """(sample, submit tag). Completion order across reader threads is
+        NOT submit order — the tag identifies which submit this is."""
+        out = np.empty(self._n, np.float32)
+        tag = ctypes.c_long(-1)
+        r = self._lib.vvl_next_tagged(
+            self._h, out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+            ctypes.byref(tag), timeout_ms,
+        )
+        if r == 1:
+            return out.reshape(self.sample_shape), int(tag.value)
         if r == 0:
             return None
         raise IOError("native loader failed to read a sample")
