@@ -26,6 +26,10 @@ def arg_parser():
     p.add_argument("--out_dir", type=str, default="output/vae")
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--bf16", action="store_true", default=True)
+    p.add_argument("--micro", action="store_true",
+                   help="small model configs for fast CPU smoke runs")
+    p.add_argument("--fast_init", action="store_true",
+                   help="host-RNG random weights (skip the ~6 min init)")
     return p.parse_args()
 
 
@@ -48,7 +52,9 @@ def main():
 
     init_distributed()  # multihost no-op unless SLURM/coordinator env set
 
-    from vaevar_tpu.config import FLOW_140, VAE_DECODER, VAE_ENCODER
+    from vaevar_tpu.config import (
+        FLOW_140, VAE_DECODER, VAE_ENCODER, micro_config,
+    )
     from vaevar_tpu.data.era5 import LocalNpyStore, SyntheticEra5
     from vaevar_tpu.data.nmc import NMCSequenceDataset, batched_loader
     from vaevar_tpu.models.lgunet import LGUnet
@@ -68,16 +74,28 @@ def main():
     ds = NMCSequenceDataset(source, args.start_time, args.end_time, length=5)
     logger.info(f"dataset: {len(ds)} sequences")
 
-    flow = LGUnet(FLOW_140.replace(img_size=hw, dtype=dtype))
-    fengwu_params = (
-        ckpt.restore(args.fengwu_ckpt) if args.fengwu_ckpt
-        else flow.init(jax.random.PRNGKey(args.seed), jnp.zeros((1, 69, *hw)))
-    )
+    if args.micro:
+        flow_cfg = micro_config(img_size=hw, attn_type="relbias", dtype=dtype)
+        enc_cfg = flow_cfg.replace(outchans_list=(4, 12, 12, 12, 12, 12))
+        dec_cfg = flow_cfg.replace(inchans_list=(2, 6, 6, 6, 6, 6),
+                                   outchans_list=(4, 13, 13, 13, 13, 13))
+    else:
+        flow_cfg = FLOW_140.replace(img_size=hw, dtype=dtype)
+        enc_cfg = VAE_ENCODER.replace(img_size=hw, dtype=dtype)
+        dec_cfg = VAE_DECODER.replace(img_size=hw, dtype=dtype)
+    flow = LGUnet(flow_cfg)
+    if args.fengwu_ckpt:
+        fengwu_params = ckpt.restore(args.fengwu_ckpt)
+    elif args.fast_init:
+        from vaevar_tpu.utils.fast_init import fast_init
 
-    vae = VAE(
-        VAE_ENCODER.replace(img_size=hw, dtype=dtype),
-        VAE_DECODER.replace(img_size=hw, dtype=dtype),
-    )
+        fengwu_params = fast_init(flow, jnp.zeros((1, 69, *hw)),
+                                  seed=args.seed)
+    else:
+        fengwu_params = flow.init(jax.random.PRNGKey(args.seed),
+                                  jnp.zeros((1, 69, *hw)))
+
+    vae = VAE(enc_cfg, dec_cfg)
 
     loader = list(
         batched_loader(ds, args.batch_size, seed=args.seed)
