@@ -185,7 +185,10 @@ def main():
         flow_base = cfgs.micro_config(img_size=shw)
     else:
         dec_base, flow_base = fit_grid(VAE_DECODER, shw), fit_grid(FLOW_140, shw)
-    dec_cfg = dec_base.replace(dtype=dtype)
+    # remat decoder blocks in 4D-Var: the decoder backward otherwise keeps
+    # ~6 GB of activations live on top of the window rollout (measured on
+    # v5e; docs/PERF.md). 3D-Var keeps the faster non-remat backward.
+    dec_cfg = dec_base.replace(dtype=dtype, remat=args.da_win > 1)
     decoder = LGUnet(dec_cfg)
     z0 = jnp.zeros(cfg.latent_shape, jnp.float32)
     dec_params = (
@@ -193,7 +196,9 @@ def main():
         else _init(decoder, z0, args.seed)
     )
 
-    flow_cfg = flow_base.replace(dtype=dtype)
+    # remat flow blocks when the model runs INSIDE the 4D-Var cost: the
+    # window backward otherwise keeps ~4 GB of flow activations live
+    flow_cfg = flow_base.replace(dtype=dtype, remat=args.da_win > 1)
     flow = LGUnet(flow_cfg)
     flow_params = (
         ckpt.restore(args.flow_ckpt) if args.flow_ckpt

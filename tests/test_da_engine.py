@@ -319,3 +319,69 @@ class TestReducedObsCost:
         rel = np.abs(gr - gf) / (np.abs(gf) + 1e-3)
         # f32 summation-order noise; measured median 1e-7, max 1.5e-3
         assert np.median(rel) < 1e-5 and rel.max() < 5e-3
+
+
+class TestWindowCost4DVar:
+    """da_win>1: the in-scan accumulated obs term must equal the explicit
+    materialized window (obs_term over _window_predict) and be
+    differentiable through the rollout."""
+
+    def _setup(self, da_win=3):
+        from vaevar_tpu.models.lgunet import LGUnet
+
+        model, params, dec_apply = tiny_vae()
+        flow_cfg = cfgs.tiny_config(attn_type="relbias",
+                                    lg_full_attn_first=False)
+        flow = LGUnet(flow_cfg.replace(
+            outchans_list=(8, 26, 26, 26, 26, 26)))
+        fparams = flow.init(jax.random.PRNGKey(2), jnp.zeros((1, 69, *HW)))
+        rr = np.random.default_rng(0)
+        xb = jnp.asarray(
+            channels.MEAN.reshape(-1, 1, 1)
+            + channels.STD.reshape(-1, 1, 1)
+            * rr.normal(size=(69, *HW)),
+            jnp.float32,
+        )
+        yo = jnp.asarray(
+            channels.MEAN.reshape(-1, 1, 1)[None]
+            + channels.STD.reshape(-1, 1, 1)[None]
+            * rr.normal(size=(da_win, 69, *HW)),
+            jnp.float32,
+        )
+        Hm = jnp.asarray(
+            (rr.random((da_win, 69, *HW)) < 0.1).astype(np.float32)
+        )
+        R = jnp.ones((da_win, 69, *HW), jnp.float32)
+        bundle = ObsBundle(xb=xb, yo=yo, H=Hm, R=R)
+        mp = {"decoder": params, "flow": fparams}
+        return dec_apply, flow.apply, bundle, mp
+
+    def test_accumulated_equals_materialized(self):
+        da_win = 3
+        dec_apply, flow_apply, bundle, mp = self._setup(da_win)
+        c, to_state, parts = cost_mod.make_vae4dvar_cost(
+            dec_apply, flow_apply, flow_hw=HW, da_win=da_win)
+        z = jnp.asarray(
+            np.random.default_rng(1).normal(size=(1, 32, *HW)) * 0.1,
+            jnp.float32,
+        )
+        got = float(c(z, bundle, mp))
+        # explicit materialized reference
+        x0 = to_state(z, bundle, mp)
+        preds = cost_mod._window_predict(x0, flow_apply, HW, da_win, mp)
+        want = float(
+            0.5 * jnp.sum(z**2) + cost_mod.obs_term(preds, bundle)
+        )
+        np.testing.assert_allclose(got, want, rtol=1e-5)
+        jb, jo = parts(z, bundle, mp)
+        np.testing.assert_allclose(float(jb) + float(jo), got, rtol=1e-5)
+
+    def test_gradient_flows_through_rollout(self):
+        da_win = 2
+        dec_apply, flow_apply, bundle, mp = self._setup(da_win)
+        c, _, _ = cost_mod.make_vae4dvar_cost(
+            dec_apply, flow_apply, flow_hw=HW, da_win=da_win)
+        z = jnp.zeros((1, 32, *HW), jnp.float32)
+        g = jax.grad(lambda q: c(q, bundle, mp))(z)
+        assert float(jnp.sum(jnp.abs(g))) > 0
+        assert np.isfinite(np.asarray(g)).all()

@@ -24,6 +24,7 @@ from __future__ import annotations
 
 from typing import Callable, NamedTuple
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -103,6 +104,50 @@ def _window_predict(x0, flow_apply, flow_hw, da_win, params):
     return rollout_window(x0, flow_step, da_win)
 
 
+def _make_window_obs(flow_apply, flow_hw, da_win, interp_matrix):
+    """Jo accumulated INSIDE the remat'd rollout scan.
+
+    Materializing all da_win predicted states and their 204-channel
+    augmented innovations at once (the reference's structure,
+    da_4dvar.py:1190-1206) costs ~13 GB of XLA temp at 128x256 — past a
+    v5e's HBM alongside the resident models. Folding each slot's obs
+    quadratic into the rollout step bounds the live set to ONE slot;
+    jax.checkpoint recomputes the step (flow fwd + augment) in the
+    backward. Same J up to float associativity.
+    """
+
+    def jo_slot(x, yo_t, h_t, r_t):
+        p = x[None]
+        if interp_matrix is not None:
+            p = augment_levels(p, interp_matrix)
+        return 0.5 * jnp.sum(h_t * (p[0] - yo_t) ** 2 / r_t)
+
+    def window_obs(x0, bundle, params):
+        jo0 = jo_slot(x0, bundle.yo[0], bundle.H[0], bundle.R[0])
+        if da_win == 1 or flow_apply is None:
+            return jo0
+        integrate = make_integrate(flow_apply, flow_hw)
+        flow_params = params["flow"]
+
+        def step(carry, t):
+            x, acc = carry
+            x = integrate(flow_params, x, 1, interpolation=True)
+            acc = acc + jo_slot(
+                x,
+                jnp.take(bundle.yo, t, axis=0),
+                jnp.take(bundle.H, t, axis=0),
+                jnp.take(bundle.R, t, axis=0),
+            )
+            return (x, acc), None
+
+        (_, jo), _ = jax.lax.scan(
+            jax.checkpoint(step), (x0, jo0), jnp.arange(1, da_win)
+        )
+        return jo
+
+    return window_obs
+
+
 def make_vae4dvar_cost(
     decoder_apply: Callable,
     flow_apply: Callable | None = None,
@@ -128,19 +173,16 @@ def make_vae4dvar_cost(
         d = resize_nearest(d, bundle.xb.shape[-2:])
         return bundle.xb + d * err * mstd
 
-    def _predict(z, bundle, params):
-        x0 = decode_to_state(z, bundle, params)
-        return _window_predict(x0, flow_apply, flow_hw, da_win, params)
+    window_obs = _make_window_obs(flow_apply, flow_hw, da_win, interp_matrix)
 
     def cost(z, bundle: ObsBundle, params):
-        return 0.5 * jnp.sum(z**2) + obs_coeff * obs_term(
-            _predict(z, bundle, params), bundle, interp_matrix
-        )
+        x0 = decode_to_state(z, bundle, params)
+        return 0.5 * jnp.sum(z**2) + obs_coeff * window_obs(x0, bundle,
+                                                            params)
 
     def cost_parts(z, bundle: ObsBundle, params):
-        return 0.5 * jnp.sum(z**2), obs_term(
-            _predict(z, bundle, params), bundle, interp_matrix
-        )
+        x0 = decode_to_state(z, bundle, params)
+        return 0.5 * jnp.sum(z**2), window_obs(x0, bundle, params)
 
     return cost, decode_to_state, cost_parts
 
@@ -226,18 +268,15 @@ def make_sc4dvar_cost(
         del params
         return transform(w, bundle.xb)
 
-    def _predict(w, bundle, params):
-        x0 = to_state(w, bundle, params)
-        return _window_predict(x0, flow_apply, flow_hw, da_win, params)
+    window_obs = _make_window_obs(flow_apply, flow_hw, da_win, interp_matrix)
 
     def cost(w, bundle: ObsBundle, params):
-        return 0.5 * jnp.sum(w**2) + obs_coeff * obs_term(
-            _predict(w, bundle, params), bundle, interp_matrix
-        )
+        x0 = to_state(w, bundle, params)
+        return 0.5 * jnp.sum(w**2) + obs_coeff * window_obs(x0, bundle,
+                                                            params)
 
     def cost_parts(w, bundle: ObsBundle, params):
-        return 0.5 * jnp.sum(w**2), obs_term(
-            _predict(w, bundle, params), bundle, interp_matrix
-        )
+        x0 = to_state(w, bundle, params)
+        return 0.5 * jnp.sum(w**2), window_obs(x0, bundle, params)
 
     return cost, to_state, cost_parts

@@ -134,6 +134,7 @@ class CycledDA:
             return VariationalSolver(
                 c, to_state, parts, lbfgs_iters=cfg.lbfgs_iters,
                 history=cfg.lbfgs_history, mesh=self.mesh,
+                segment_dispatch=cfg.da_win > 1, iters_per_dispatch=1,
             )
         if cfg.da_mode == "sc4dvar":
             assert self.cvt is not None
@@ -155,6 +156,7 @@ class CycledDA:
             return VariationalSolver(
                 c, to_state, parts, lbfgs_iters=min(cfg.lbfgs_iters, 5),
                 history=cfg.lbfgs_history, mesh=self.mesh,
+                segment_dispatch=cfg.da_win > 1, iters_per_dispatch=1,
             )
         return None
 

@@ -53,8 +53,28 @@ class VariationalSolver:
         lbfgs_iters: int = 10,
         history: int = 10,
         mesh=None,  # jax.sharding.Mesh with "sh"/"sw" axes for spatial SPMD
+        segment_dispatch: bool = False,
+        iters_per_dispatch: int | None = None,
     ):
+        """segment_dispatch=True keeps multiple short device dispatches
+        instead of fusing the whole solve into a single XLA program. Use
+        it when a single cost evaluation is heavy (4D-Var windows: da_win
+        flow-model steps fwd+bwd per eval, each zoom-linesearch probe
+        included) — a fused Nit*iters program then runs for many minutes
+        on-device, which trips TPU-worker watchdogs and loses everything
+        on preemption. iters_per_dispatch bounds the quasi-Newton
+        iterations per dispatched program (default: lbfgs_iters, i.e. one
+        dispatch per outer segment like the reference's .step() loop;
+        1 = one dispatch per iteration). L-BFGS state continuation makes
+        every granularity follow the identical optimizer trajectory."""
         self.mesh = mesh
+        self.segment_dispatch = segment_dispatch
+        ipd = (iters_per_dispatch or lbfgs_iters) if segment_dispatch \
+            else lbfgs_iters  # fused/scan paths always run full segments
+        ipd = max(1, min(ipd, lbfgs_iters))
+        if lbfgs_iters % ipd:
+            ipd = 1  # uneven split would overshoot; finest granularity
+        self._ipd = ipd
         self._mean = jnp.asarray(channels.MEAN, jnp.float32).reshape(-1, 1, 1)
         self._std = jnp.asarray(channels.STD, jnp.float32).reshape(-1, 1, 1)
 
@@ -65,9 +85,11 @@ class VariationalSolver:
         def seg_init(x):
             return lbfgs_init_state(x, history=history)
 
+        ipd = self._ipd
+
         def segment(x, state, bundle, params):
             res = lbfgs_minimize(
-                lambda q: cost(q, bundle, params), x, max_iters=lbfgs_iters,
+                lambda q: cost(q, bundle, params), x, max_iters=ipd,
                 history=history, init_state=state,
             )
             return res.x, res.state
@@ -159,6 +181,9 @@ class VariationalSolver:
             x0, bundle, params, gt = self._shard_inputs(x0, bundle, params, gt)
         diag = SolveDiagnostics()
         t0 = time.time()
+        if self.segment_dispatch:
+            return self._solve_segmented(x0, bundle, params, nit, gt,
+                                         verbose, name, diag, t0)
         if gt is None:  # no per-iter diagnostics: single fused program
             x, xa = self.fused_solve(nit)(x0, bundle, params)
             diag.seconds = time.time() - t0
@@ -185,6 +210,35 @@ class VariationalSolver:
                 )
         diag.seconds = time.time() - t0
         return x, xa, diag
+
+    def _solve_segmented(self, x0, bundle, params, nit, gt, verbose, name,
+                         diag, t0):
+        """Per-segment dispatch with carried L-BFGS state (identical
+        trajectory to the fused/scanned paths)."""
+        x = x0
+        opt_state = self.seg_init(x0)
+        for kk in range(nit + 1):
+            if gt is not None:
+                wrmse, bias, jb, jo = self.diagnostics(x, bundle, params,
+                                                       gt[0])
+                diag.wrmse.append(np.asarray(wrmse))
+                diag.bias.append(np.asarray(bias))
+                diag.loss_reg.append(float(jb))
+                diag.loss_obs.append(float(jo))
+                if verbose:
+                    w = np.asarray(wrmse)
+                    print(
+                        f"[{name}] iter {kk}: z500 {w[11]:.4g} "
+                        f"q500 {w[24]:.4g} t2m {w[2]:.4g} t850 {w[66]:.4g} "
+                        f"u500 {w[37]:.4g} v500 {w[50]:.4g} "
+                        f"Jb {float(jb):.4g} Jo {float(jo):.4g}",
+                        flush=True,
+                    )
+            if kk < nit:
+                for _ in range(self._lbfgs_iters // self._ipd):
+                    x, opt_state = self.segment(x, opt_state, bundle, params)
+        diag.seconds = time.time() - t0
+        return x, self.to_state(x, bundle, params), diag
 
     def _shard_inputs(self, x0, bundle, params, gt):
         """Commit solve inputs to (lat, lon) shardings; GSPMD propagates
