@@ -413,8 +413,11 @@ class PatchMerging(nn.Module):
     """2x2 space-to-depth + norm + linear 4C->2C (LGUnet_all.py:62-97)."""
 
     dim: int  # input dim C; output 2C
-    dtype: Any = None
 
+    # NOTE: stage-boundary ops intentionally run in f32 with the
+    # original dtype promotion semantics — threading bf16 through them
+    # (and pre-casting pos_embed) measured ~15% SLOWER per cost+grad on
+    # v5e (docs/PERF.md "dtype threading" entry).
     @nn.compact
     def __call__(self, x):
         B, H, W, C = x.shape
@@ -423,25 +426,22 @@ class PatchMerging(nn.Module):
         x2 = x[:, 0::2, 1::2]
         x3 = x[:, 1::2, 1::2]
         x = jnp.concatenate([x0, x1, x2, x3], axis=-1)
-        x = nn.LayerNorm(epsilon=1e-6, dtype=self.dtype, name="norm")(x)
-        return _dense(2 * self.dim, name="reduction", use_bias=False,
-                      dtype=self.dtype)(x)
+        x = nn.LayerNorm(epsilon=1e-6, name="norm")(x)
+        return _dense(2 * self.dim, name="reduction", use_bias=False)(x)
 
 
 class PatchExpand(nn.Module):
     """Linear C->2C + depth-to-space 2x2 + norm (LGUnet_all.py:100-119)."""
 
     dim: int  # input dim C; output C//2
-    dtype: Any = None
 
     @nn.compact
     def __call__(self, x):
-        x = _dense(2 * self.dim, name="expand", use_bias=False,
-                   dtype=self.dtype)(x)
+        x = _dense(2 * self.dim, name="expand", use_bias=False)(x)
         B, H, W, C = x.shape
         x = x.reshape(B, H, W, 2, 2, C // 4)
         x = x.transpose(0, 1, 3, 2, 4, 5).reshape(B, 2 * H, 2 * W, C // 4)
-        return nn.LayerNorm(epsilon=1e-6, dtype=self.dtype, name="norm")(x)
+        return nn.LayerNorm(epsilon=1e-6, name="norm")(x)
 
 
 class GroupEncoder(nn.Module):
@@ -462,10 +462,8 @@ class GroupEncoder(nn.Module):
             dtype=cfg.dtype,
         )(x)
         pos = self.param("pos_embed", _trunc02, (1, pr[0], pr[1], cfg.enc_dim))
-        # cast the f32 param to the compute dtype BEFORE the add — otherwise
-        # the promotion drags the whole residual stream (and every LayerNorm
-        # and matmul downstream) up to f32
-        x = x + pos.astype(x.dtype)
+        x = x + pos  # f32 promotion of the stream is deliberate, see
+        # PatchMerging note
 
         downsamples = []
         L = len(cfg.enc_depths)
@@ -473,13 +471,13 @@ class GroupEncoder(nn.Module):
             dim = cfg.enc_dim * 2**i
             res = (pr[0] // 2**i, pr[1] // 2**i)
             if i > 0:
-                x = PatchMerging(dim // 2, dtype=cfg.dtype, name=f"merge{i}")(x)
+                x = PatchMerging(dim // 2, name=f"merge{i}")(x)
             x = BlockStack(
                 cfg, dim, cfg.enc_heads[i], cfg.enc_depths[i], res,
                 cfg.window_size, name=f"enc{i}",
             )(x)
             downsamples.append(x)
-        x = nn.LayerNorm(epsilon=1e-6, dtype=cfg.dtype, name="norm")(x)
+        x = nn.LayerNorm(epsilon=1e-6, name="norm")(x)
         return x, downsamples
 
 
@@ -505,8 +503,8 @@ class GroupDecoder(nn.Module):
                 res, cfg.window_size, name=f"dec{i}",
             )(x)
             if i < L - 1:
-                x = PatchExpand(dim, dtype=cfg.dtype, name=f"expand{i}")(x)
-        x = nn.LayerNorm(epsilon=1e-6, dtype=cfg.dtype, name="norm_up")(x)
+                x = PatchExpand(dim, name=f"expand{i}")(x)
+        x = nn.LayerNorm(epsilon=1e-6, name="norm_up")(x)
         return nn.ConvTranspose(
             self.out_chans,
             kernel_size=cfg.patch_size,
@@ -527,7 +525,7 @@ class LGStack(nn.Module):
         cfg = self.cfg
         Hg, Wg = cfg.lg_resolution
         pos = self.param("pos_embed", _trunc02, (1, Hg, Wg, cfg.embed_dim))
-        x = x + pos.astype(x.dtype)  # keep the residual stream in bf16
+        x = x + pos
         for li, (depth, heads) in enumerate(zip(cfg.lg_depths, cfg.lg_heads)):
             full = li == 0 and cfg.lg_full_attn_first
             x = BlockStack(
