@@ -123,8 +123,12 @@ def _make_window_obs(flow_apply, flow_hw, da_win, interp_matrix):
         return 0.5 * jnp.sum(h_t * (p[0] - yo_t) ** 2 / r_t)
 
     def window_obs(x0, bundle, params):
+        if flow_apply is None and da_win > 1:
+            # no flow model: persistence — x0 scored against EVERY slot
+            # (the materialized obs_term's broadcast semantics)
+            return obs_term(x0[None], bundle, interp_matrix)
         jo0 = jo_slot(x0, bundle.yo[0], bundle.H[0], bundle.R[0])
-        if da_win == 1 or flow_apply is None:
+        if da_win == 1:
             return jo0
         integrate = make_integrate(flow_apply, flow_hw)
         flow_params = params["flow"]

@@ -195,21 +195,25 @@ class VariationalSolver:
         wrmse, bias = np.asarray(wrmse), np.asarray(bias)
         jb, jo = np.asarray(jb), np.asarray(jo)
         for kk in range(nit + 1):
-            diag.wrmse.append(wrmse[kk])
-            diag.bias.append(bias[kk])
-            diag.loss_reg.append(float(jb[kk]))
-            diag.loss_obs.append(float(jo[kk]))
-            if verbose:
-                w = wrmse[kk]
-                print(
-                    f"[{name}] iter {kk}: z500 {w[11]:.4g} q500 {w[24]:.4g} "
-                    f"t2m {w[2]:.4g} t850 {w[66]:.4g} u500 {w[37]:.4g} "
-                    f"v500 {w[50]:.4g} Jb {float(jb[kk]):.4g} "
-                    f"Jo {float(jo[kk]):.4g}",
-                    flush=True,
-                )
+            self._record_iter(diag, wrmse[kk], bias[kk], float(jb[kk]),
+                              float(jo[kk]), kk, verbose, name)
         diag.seconds = time.time() - t0
         return x, xa, diag
+
+    @staticmethod
+    def _record_iter(diag, wrmse, bias, jb, jo, kk, verbose, name):
+        diag.wrmse.append(np.asarray(wrmse))
+        diag.bias.append(np.asarray(bias))
+        diag.loss_reg.append(jb)
+        diag.loss_obs.append(jo)
+        if verbose:
+            w = np.asarray(wrmse)
+            print(
+                f"[{name}] iter {kk}: z500 {w[11]:.4g} q500 {w[24]:.4g} "
+                f"t2m {w[2]:.4g} t850 {w[66]:.4g} u500 {w[37]:.4g} "
+                f"v500 {w[50]:.4g} Jb {jb:.4g} Jo {jo:.4g}",
+                flush=True,
+            )
 
     def _solve_segmented(self, x0, bundle, params, nit, gt, verbose, name,
                          diag, t0):
@@ -221,19 +225,8 @@ class VariationalSolver:
             if gt is not None:
                 wrmse, bias, jb, jo = self.diagnostics(x, bundle, params,
                                                        gt[0])
-                diag.wrmse.append(np.asarray(wrmse))
-                diag.bias.append(np.asarray(bias))
-                diag.loss_reg.append(float(jb))
-                diag.loss_obs.append(float(jo))
-                if verbose:
-                    w = np.asarray(wrmse)
-                    print(
-                        f"[{name}] iter {kk}: z500 {w[11]:.4g} "
-                        f"q500 {w[24]:.4g} t2m {w[2]:.4g} t850 {w[66]:.4g} "
-                        f"u500 {w[37]:.4g} v500 {w[50]:.4g} "
-                        f"Jb {float(jb):.4g} Jo {float(jo):.4g}",
-                        flush=True,
-                    )
+                self._record_iter(diag, wrmse, bias, float(jb), float(jo),
+                                  kk, verbose, name)
             if kk < nit:
                 for _ in range(self._lbfgs_iters // self._ipd):
                     x, opt_state = self.segment(x, opt_state, bundle, params)

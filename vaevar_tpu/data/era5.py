@@ -99,16 +99,29 @@ class ReferenceLayoutStore:
 
     def get_state(self, ts) -> np.ndarray:
         paths = self._paths(ts)
-        out = np.empty((len(paths), *self.hw), np.float32)
+        n = len(paths)
+        out = np.empty((n, *self.hw), np.float32)
         if self._pool is not None:
+            # epoch-encoded tags: a previous call that errored mid-drain
+            # may have left completed samples in the pool; stale-epoch
+            # deliveries are discarded instead of corrupting this frame
+            self._epoch = getattr(self, "_epoch", 0) + 1
+            base = self._epoch * n
             for i, p in enumerate(paths):
-                self._pool.submit(p, tag=i)
-            for _ in range(len(paths)):
-                got = self._pool.next_tagged()
+                self._pool.submit(p, tag=base + i)
+            filled = 0
+            while filled < n:
+                try:
+                    got = self._pool.next_tagged()
+                except IOError:
+                    got = None  # failed sample: identify below by count
                 if got is None:
-                    raise IOError(f"native loader timed out on {ts}")
+                    raise IOError(f"native loader failed/timed out on {ts}")
                 arr, tag = got
-                out[tag] = arr
+                if tag // n != self._epoch:
+                    continue  # stale sample from an aborted earlier call
+                out[tag - base] = arr
+                filled += 1
         else:
             for i, p in enumerate(paths):
                 out[i] = np.load(p).astype(np.float32)

@@ -38,6 +38,7 @@ import numpy as np
 from vaevar_tpu.config import LGUnetConfig
 from vaevar_tpu.ops import attention as attn_ops
 from vaevar_tpu.ops import fused_block as fused_ops
+from vaevar_tpu.ops import posenc as posenc_ops
 from vaevar_tpu.ops import rope as rope_ops
 from vaevar_tpu.ops import windows as win_ops
 
@@ -53,18 +54,6 @@ def _dense(feat, name=None, use_bias=True, dtype=None):
         bias_init=nn.initializers.zeros,
         dtype=dtype,
     )
-
-
-def _relative_position_index(wh: int, ww: int) -> np.ndarray:
-    """(N, N) index into the (2wh-1)*(2ww-1) relative position bias table."""
-    coords = np.stack(np.meshgrid(np.arange(wh), np.arange(ww), indexing="ij"))
-    flat = coords.reshape(2, -1)
-    rel = flat[:, :, None] - flat[:, None, :]
-    rel = rel.transpose(1, 2, 0)
-    rel[:, :, 0] += wh - 1
-    rel[:, :, 1] += ww - 1
-    rel[:, :, 0] *= 2 * ww - 1
-    return rel.sum(-1)
 
 
 class WindowAttention(nn.Module):
@@ -116,13 +105,9 @@ class WindowAttention(nn.Module):
             T = (2 * wh - 1) * (2 * ww - 1)
             self.rel_bias_table = self.param("rel_bias_table", _trunc02,
                                              (T, self.num_heads))
-            idx = _relative_position_index(wh, ww).reshape(-1)
-            # one-hot matmul instead of gather: a table gather inside an
-            # nn.scan'd stack lowers to a scatter in the backward that runs
-            # ~500x slower than the equivalent (N^2, T) x (T, h) matmul
-            onehot = np.zeros((idx.shape[0], T), np.float32)
-            onehot[np.arange(idx.shape[0]), idx] = 1.0
-            self._rel_onehot = onehot
+            # one-hot matmul instead of gather (shared builder with the
+            # fused Pallas block; see ops/posenc.relative_position_onehot)
+            self._rel_onehot = posenc_ops.relative_position_onehot((wh, ww))
             # old-gen uses -100 rather than -inf (swinblock.py:258)
             neg = -100.0
         self._mask = win_ops.swin_attention_mask(H, W, self._win, self._shift,
@@ -263,6 +248,8 @@ class Block(nn.Module):
     fuse: bool = False  # fused Pallas block (ops/fused_block.py)
 
     def _can_fuse(self) -> bool:
+        from vaevar_tpu.ops.fused_block import _slab_cols
+
         H, W = self.resolution
         wh, ww = self.window_size
         return (
@@ -272,11 +259,16 @@ class Block(nn.Module):
             and min(H, W) > min(wh, ww)  # no old-gen window clamp
             and H % wh == 0
             and W % ww == 0
+            # full-longitude windows hit the reference's mask=None quirk
+            # (swin_attention_mask, ww == W) which the fused biasmask does
+            # not replicate — keep those on the modular path
+            and ww < W
             # VMEM budget: block weights + (heads, TT, TT) logits must fit
             # on-chip; excludes the embed_dim-1152 LG stages (their matmuls
-            # are already MXU-roofline under XLA)
+            # are already MXU-roofline under XLA). TT is the SLAB width,
+            # not the grid width.
             and self.dim <= 384
-            and wh * W <= 1024
+            and wh * _slab_cols(W, ww) <= 1024
         )
 
     @nn.compact

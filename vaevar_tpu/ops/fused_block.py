@@ -66,18 +66,11 @@ def available() -> bool:
 
 @functools.lru_cache(maxsize=None)
 def _rel_onehot(wh: int, ww: int):
-    """One-hot (N*N, T) map window-pair -> rel-pos table row, N-order
-    (wh, ww) row-major — identical to lgunet._relative_position_index."""
-    N = wh * ww
-    T = (2 * wh - 1) * (2 * ww - 1)
-    r = np.arange(N) // ww
-    c = np.arange(N) % ww
-    rel = (r[:, None] - r[None, :] + wh - 1) * (2 * ww - 1) + (
-        c[:, None] - c[None, :] + ww - 1
-    )
-    onehot = np.zeros((N * N, T), np.float32)
-    onehot[np.arange(N * N), rel.reshape(-1)] = 1.0
-    return onehot
+    """Shared rel-pos one-hot (ops/posenc.py) — same table row order as
+    the modular WindowAttention, so checkpoints stay interchangeable."""
+    from vaevar_tpu.ops.posenc import relative_position_onehot
+
+    return relative_position_onehot((wh, ww))
 
 
 @functools.lru_cache(maxsize=None)

@@ -74,6 +74,24 @@ def build_2d_sincos_posemb(h: int, w: int, embed_dim: int = 1024,
     return emb[None].astype(np.float32)
 
 
+def relative_position_onehot(window_size) -> np.ndarray:
+    """One-hot (N*N, T) map from window token pair to rel-pos table row.
+
+    The matmul form of the bias lookup: a gather inside an nn.scan'd
+    stack lowers to a backward scatter that is ~500x slower than the
+    equivalent (N^2, T) x (T, heads) matmul. Shared by the modular
+    WindowAttention and the fused Pallas block so the two stay
+    bit-identical for checkpoint parity.
+    """
+    idx = relative_position_index(tuple(window_size)).reshape(-1)
+    table_len = 1
+    for s in window_size:
+        table_len *= 2 * s - 1
+    onehot = np.zeros((idx.shape[0], table_len), np.float32)
+    onehot[np.arange(idx.shape[0]), idx] = 1.0
+    return onehot
+
+
 def relative_position_index(window_size) -> np.ndarray:
     """(N, N) index into a prod(2*w_i - 1) relative-position-bias table for
     an n-D window (reference RelativePositionalBias index build,

@@ -40,12 +40,18 @@ def init_distributed(coordinator: str | None = None,
     if process_id is None and "SLURM_PROCID" in env:
         process_id = int(env["SLURM_PROCID"])
     multiproc = (num_processes or 1) > 1 or coordinator is not None
-    if multiproc and jax.process_count() == 1:
-        jax.distributed.initialize(
-            coordinator_address=coordinator,
-            num_processes=num_processes,
-            process_id=process_id,
-        )
+    if multiproc:
+        # must run BEFORE anything initializes the XLA backend (even
+        # jax.process_count() would); idempotence via the client state,
+        # not a backend query
+        from jax._src import distributed as _dist
+
+        if getattr(_dist.global_state, "client", None) is None:
+            jax.distributed.initialize(
+                coordinator_address=coordinator,
+                num_processes=num_processes,
+                process_id=process_id,
+            )
     return jax.process_index()
 
 
