@@ -84,7 +84,8 @@ class TestLGUnet:
         assert np.isfinite(np.asarray(y1)).all()
 
     def test_flash_attention_matches_dense(self):
-        from vaevar_tpu.ops.attention import dense_attention, flash_attention
+        from vaevar_tpu.ops.attention import dense_attention
+        from vaevar_tpu.ops.flash import flash_attention
 
         rng = np.random.default_rng(6)
         q = jnp.asarray(rng.normal(size=(2, 3, 200, 16)), jnp.float32)

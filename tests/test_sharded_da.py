@@ -82,6 +82,36 @@ class TestShardedSolve:
         j1 = float(cost(z, bundle, params))
         assert j1 < j0
 
+    def test_sharded_reduced_obs_matches_unsharded(self):
+        """Mesh-sharded solve on the REDUCED obs quadratic (the config of
+        record: da_win=1 + --mesh). ReducedObs carries a 0-d field (c),
+        which _shard_inputs must replicate rather than spatially shard."""
+        cost_f, to_state_f, parts_f, bundle, params, z0 = setup()
+        del cost_f, to_state_f, parts_f
+        dec_cfg = cfgs.micro_config(
+            img_size=HW, inchans_list=(2, 6), outchans_list=(13, 56)
+        )
+        decoder = LGUnet(dec_cfg)
+        cost, to_state, parts = cost_mod.make_vae4dvar_cost_reduced(
+            decoder.apply
+        )
+        red = cost_mod.reduce_obs(bundle, HW)
+
+        plain = VariationalSolver(cost, to_state, parts, lbfgs_iters=4)
+        xa_ref = np.asarray(
+            plain.solve(z0, red, params, nit=1, verbose=False)[1]
+        )
+        mesh = pmesh.make_mesh({"sh": 2, "sw": 4})
+        sharded = VariationalSolver(cost, to_state, parts, lbfgs_iters=4,
+                                    mesh=mesh)
+        z, xa, _ = sharded.solve(z0, red, params, nit=1, verbose=False)
+        assert not z.sharding.is_fully_replicated
+        inc_ref = xa_ref - np.asarray(bundle.xb)
+        inc = np.asarray(xa) - np.asarray(bundle.xb)
+        rel = np.linalg.norm(inc - inc_ref) / max(np.linalg.norm(inc_ref),
+                                                  1e-12)
+        assert rel < 1e-3, rel
+
     def test_obs_term_sharded_equals_replicated(self):
         cost, to_state, parts, bundle, params, z0 = setup()
         mesh = pmesh.make_mesh({"sh": 2, "sw": 4})

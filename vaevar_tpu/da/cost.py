@@ -222,7 +222,10 @@ def make_vae4dvar_cost_reduced(decoder_apply: Callable, obs_coeff: float = 1.0,
         return 0.5 * jnp.sum(z**2) + obs_coeff * obs_quad(z, bundle, params)
 
     def cost_parts(z, bundle: ReducedObs, params):
-        return 0.5 * jnp.sum(z**2), obs_coeff * obs_quad(z, bundle, params)
+        # Jo returned UNSCALED, matching make_vae4dvar_cost and the
+        # reference's loss_obs printout (da_4dvar.py:1269 applies obs_coeff
+        # only when summing the total).
+        return 0.5 * jnp.sum(z**2), obs_quad(z, bundle, params)
 
     return cost, decode_to_state, cost_parts
 
@@ -250,7 +253,8 @@ def make_sc4dvar_cost_reduced(increment: Callable, obs_coeff: float = 1.0):
 
     def cost_parts(w, bundle: ReducedObs, params):
         del params
-        return 0.5 * jnp.sum(w**2), obs_coeff * obs_quad(w, bundle)
+        # Jo unscaled, matching make_sc4dvar_cost (see vae4dvar note).
+        return 0.5 * jnp.sum(w**2), obs_quad(w, bundle)
 
     return cost, to_state, cost_parts
 

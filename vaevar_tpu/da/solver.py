@@ -235,13 +235,24 @@ class VariationalSolver:
 
     def _shard_inputs(self, x0, bundle, params, gt):
         """Commit solve inputs to (lat, lon) shardings; GSPMD propagates
-        through the jitted programs from these layouts."""
+        through the jitted programs from these layouts.
+
+        Works for both bundle types: ObsBundle fields are (..., H, W)
+        grids sharded over sh/sw; ReducedObs additionally carries the 0-d
+        `c`, which (like any sub-2-d field) is replicated."""
+        from jax.sharding import PartitionSpec as P
+
         from vaevar_tpu.parallel import mesh as pmesh
 
         m = self.mesh
-        sh = lambda a: pmesh.shard(a, m, pmesh.state_spec(m, jnp.ndim(a)))
+
+        def sh(a):
+            nd = jnp.ndim(a)
+            spec = pmesh.state_spec(m, nd) if nd >= 2 else P()
+            return pmesh.shard(a, m, spec)
+
         x0 = sh(x0)
-        bundle = ObsBundle(*(sh(f) for f in bundle))
+        bundle = type(bundle)(*(sh(f) for f in bundle))
         params = pmesh.replicate(params, m)
         if gt is not None:
             gt = sh(gt)

@@ -109,14 +109,20 @@ class ReferenceLayoutStore:
             base = self._epoch * n
             for i, p in enumerate(paths):
                 self._pool.submit(p, tag=base + i)
+            from vaevar_tpu.data.native_loader import LoaderSampleError
+
             filled = 0
             while filled < n:
                 try:
                     got = self._pool.next_tagged()
-                except IOError:
-                    got = None  # failed sample: identify below by count
+                except LoaderSampleError as e:
+                    if e.tag >= 0 and e.tag // n != self._epoch:
+                        continue  # stale-epoch failure: not our frame
+                    raise IOError(
+                        f"native loader failed reading {ts} (tag {e.tag})"
+                    ) from e
                 if got is None:
-                    raise IOError(f"native loader failed/timed out on {ts}")
+                    raise IOError(f"native loader timed out on {ts}")
                 arr, tag = got
                 if tag // n != self._epoch:
                     continue  # stale sample from an aborted earlier call

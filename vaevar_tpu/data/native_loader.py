@@ -64,6 +64,17 @@ def _load():
     return lib
 
 
+class LoaderSampleError(IOError):
+    """A submitted sample failed to read. Carries the submit `tag` (or -1
+    if unknown) so consumers with epoch-encoded tags can discard failures
+    belonging to stale, already-abandoned submissions instead of aborting
+    the current batch."""
+
+    def __init__(self, msg: str, tag: int = -1):
+        super().__init__(msg)
+        self.tag = tag
+
+
 def available() -> bool:
     return _load() is not None
 
@@ -140,7 +151,11 @@ class NativePrefetcher:
             return out.reshape(self.sample_shape), int(tag.value)
         if r == 0:
             return None
-        raise IOError("native loader failed to read a sample")
+        # the C side sets tag_out before returning -1, so the failure is
+        # attributable to a specific submit
+        raise LoaderSampleError(
+            "native loader failed to read a sample", tag=int(tag.value)
+        )
 
     def pending(self) -> int:
         return int(self._lib.vvl_pending(self._h))

@@ -40,19 +40,24 @@ def init_distributed(coordinator: str | None = None,
     if process_id is None and "SLURM_PROCID" in env:
         process_id = int(env["SLURM_PROCID"])
     multiproc = (num_processes or 1) > 1 or coordinator is not None
-    if multiproc:
+    if multiproc and not _distributed_initialized[0]:
         # must run BEFORE anything initializes the XLA backend (even
-        # jax.process_count() would); idempotence via the client state,
-        # not a backend query
-        from jax._src import distributed as _dist
-
-        if getattr(_dist.global_state, "client", None) is None:
+        # jax.process_count() would); idempotence via a module flag plus
+        # tolerating the already-initialized error, NOT private jax state
+        try:
             jax.distributed.initialize(
                 coordinator_address=coordinator,
                 num_processes=num_processes,
                 process_id=process_id,
             )
+        except RuntimeError as e:
+            if "already" not in str(e).lower():
+                raise
+        _distributed_initialized[0] = True
     return jax.process_index()
+
+
+_distributed_initialized = [False]
 
 
 def make_mesh(axes: Mapping[str, int] | None = None, devices=None) -> Mesh:
