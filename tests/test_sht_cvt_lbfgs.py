@@ -167,3 +167,88 @@ class TestLBFGS:
         # fresh state instead would diverge from the single-run trajectory
         r2_fresh = lbfgs_minimize(f, r1.x, max_iters=5)
         assert not np.allclose(np.asarray(r2_fresh.x), np.asarray(r_full.x))
+
+
+class TestCVTGoldenVsTorch:
+    """Pin the post-smoothing CVT chain (regression coupling, surface std,
+    vertical EOF, psi/chi->winds) against a direct torch implementation of
+    da_4dvar.py:889-926 — including torch.gradient's non-uniform-spacing
+    edge formulas, which our partial_y replicates. The smoothing stage is
+    pinned separately against scipy (tests/test_sht_golden.py); nearest
+    upsample against F.interpolate in tests/test_primitives.py."""
+
+    def test_downstream_chain_matches_torch(self):
+        import torch
+
+        nlat, nlon, nlev, nsing = 32, 64, 13, 4
+        b = BMatrixAssets.synthetic(scale_factor=2.0, seed=3)
+        cvt = CVTransform(b, solver_hw=(nlat, nlon), out_hw=(nlat, nlon),
+                          hpad=28)
+        rng = np.random.default_rng(4)
+        u = jnp.asarray(rng.normal(size=(69, nlat, nlon)), jnp.float32)
+
+        # our smoothing output feeds BOTH chains (already golden-tested)
+        inc = cvt.sht.isotropic_smooth(u, jnp.asarray(cvt.kernel_l0))
+        inc = 11.0 * inc / jnp.asarray(b.len_scale).reshape(-1, 1, 1) ** 2
+        inc_t = torch.tensor(np.asarray(inc, np.float64))
+
+        # --- torch chain, reference semantics (da_4dvar.py:889-926) ---
+        reg = torch.tensor(b.reg_coeff.astype(np.float64))
+        if reg.shape[1] == nlev:
+            psi = inc_t[nsing + nlev * 2 : nsing + nlev * 3]
+        else:
+            psi = torch.cat([inc_t[nsing : nsing + nlev],
+                             inc_t[nsing + nlev * 2 : nsing + nlev * 3]], 0)
+        vmode = inc_t.clone()
+        for i in range(69):
+            vmode[i] = inc_t[i] + torch.sum(psi * reg[i].reshape(-1, 1, 1), 0)
+        sfvp = vmode.clone()
+        sfvp[:nsing] = vmode[:nsing] * torch.tensor(
+            b.std_sur.astype(np.float64)).reshape(-1, 1, 1)
+        for i in range(5):
+            blk = vmode[nsing + nlev * i : nsing + nlev * (i + 1)].reshape(
+                nlev, -1)
+            vec = torch.tensor(b.vert_eig_vec[i].astype(np.float64))
+            val = torch.tensor(b.vert_eig_value[i].astype(np.float64))
+            sfvp[nsing + nlev * i : nsing + nlev * (i + 1)] = (
+                vec @ (torch.sqrt(torch.diag(val)) @ blk)
+            ).reshape(nlev, nlat, nlon)
+
+        def partial_x(field):
+            xs = torch.sin(torch.linspace(1 / 180 * torch.pi,
+                                          179 / 180 * torch.pi,
+                                          nlat, dtype=torch.float64)
+                           ).reshape(1, -1, 1)
+            s1 = torch.cat([field[:, :, 1:], field[:, :, :1]], 2)
+            s2 = torch.cat([field[:, :, -1:], field[:, :, :-1]], 2)
+            return (s2 - s1) / (2 * 111195 * 180 / nlat * xs)
+
+        def partial_y(field):
+            lat_coord = (torch.arange(nlat, dtype=torch.float64)
+                         * 111195 * 180 / (nlat - 1),)
+            return torch.gradient(field, spacing=lat_coord, dim=1)[0]
+
+        recon = sfvp.clone()
+        sfb = sfvp[nsing + nlev * 2 : nsing + nlev * 3]
+        vpb = sfvp[nsing + nlev * 3 : nsing + nlev * 4]
+        recon[nsing + nlev * 2 : nsing + nlev * 3] = (
+            partial_y(sfb) - partial_x(vpb))
+        recon[nsing + nlev * 3 : nsing + nlev * 4] = (
+            -partial_x(sfb) - partial_y(vpb))
+
+        got = np.asarray(cvt.increment(u))
+        np.testing.assert_allclose(got, recon.numpy(), rtol=2e-3, atol=2e-5)
+
+    def test_full_chain_adjoint_identity(self):
+        """<B^1/2 u, v> == <u, (B^1/2)^T v> for the FULL increment chain
+        (smoothing + coupling + EOF + winds), via jax.vjp."""
+        b = BMatrixAssets.synthetic(scale_factor=2.0, seed=5)
+        cvt = CVTransform(b, solver_hw=(32, 64), out_hw=(32, 64), hpad=28)
+        rng = np.random.default_rng(6)
+        u = jnp.asarray(rng.normal(size=(69, 32, 64)), jnp.float32)
+        v = jnp.asarray(rng.normal(size=(69, 32, 64)), jnp.float32)
+        y, vjp = jax.vjp(cvt.increment, u)
+        (uT,) = vjp(v)
+        lhs = float(jnp.vdot(y, v))
+        rhs = float(jnp.vdot(u, uT))
+        assert lhs == pytest.approx(rhs, rel=2e-4)

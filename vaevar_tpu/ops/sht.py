@@ -7,7 +7,8 @@ over precomputed float64->float32 tables; the longitude transform is a real
 FFT. The transform is linear, so reverse-mode AD is exact and free.
 
 Conventions (orthonormal, matching torch_harmonics norm="ortho",
-grid="equiangular"):
+grid="equiangular", csphase=True — its defaults, pinned against scipy
+sph_harm_y goldens in tests/test_sht_golden.py):
 - colatitudes theta_j = j*pi/(nlat-1), poles included, Clenshaw-Curtis
   quadrature weights;
 - analysis:  f_lm = sum_j w_j Phat_lm(theta_j) * (2*pi/nlon) * rfft(f)_m(j)
@@ -49,7 +50,10 @@ def clenshaw_curtis_weights(n: int) -> np.ndarray:
 def _legendre_table(nlat: int, lmax: int, mmax: int) -> np.ndarray:
     """Orthonormalized associated Legendre Phat[l, m, j] at the grid nodes.
 
-    Phat_lm = sqrt((2l+1)/(4 pi) (l-m)!/(l+m)!) P_lm (no Condon-Shortley);
+    Phat_lm = (-1)^m sqrt((2l+1)/(4 pi) (l-m)!/(l+m)!) P_lm — WITH the
+    Condon-Shortley phase, matching torch_harmonics' csphase=True default
+    (the RealSHT the reference constructs at da_4dvar.py:617-618) and
+    scipy's sph_harm_y, so coefficient arrays are directly comparable.
     float64 recurrences, returned as float64 (cast at use sites).
     """
     theta = np.pi * np.arange(nlat) / (nlat - 1)
@@ -57,10 +61,10 @@ def _legendre_table(nlat: int, lmax: int, mmax: int) -> np.ndarray:
     s = np.sin(theta)
     P = np.zeros((lmax, mmax, nlat))
     P[0, 0] = np.sqrt(1.0 / (4.0 * np.pi))
-    # diagonal: Phat_mm
+    # diagonal: Phat_mm (the -1 factor accumulates the CS phase (-1)^m)
     for m in range(1, mmax):
         if m < lmax:
-            P[m, m] = np.sqrt((2 * m + 1) / (2.0 * m)) * s * P[m - 1, m - 1]
+            P[m, m] = -np.sqrt((2 * m + 1) / (2.0 * m)) * s * P[m - 1, m - 1]
     # first off-diagonal: Phat_{m+1,m}
     for m in range(mmax):
         if m + 1 < lmax:
