@@ -25,7 +25,14 @@ def arg_parser():
     p.add_argument("--grid", type=str, default="128x256")
     p.add_argument("--batch_size", type=int, default=4)
     p.add_argument("--steps", type=int, default=200,
-                   help="train steps / q samples / rollout length")
+                   help="train steps per epoch / q samples / rollout length")
+    p.add_argument("--epochs", type=int, default=1)
+    p.add_argument("--val_start", type=str, default=None,
+                   help="held-out validation range start; default: last "
+                   "20%% of [start_time, end_time)")
+    p.add_argument("--val_end", type=str, default=None)
+    p.add_argument("--no_resume", action="store_true",
+                   help="ignore an existing checkpoint_latest in --out_dir")
     p.add_argument("--lr", type=float, default=5e-6)
     p.add_argument("--loss_type", type=str, default="Possloss",
                    choices=["Possloss", "LpLoss"])
@@ -66,12 +73,11 @@ def main():
     from vaevar_tpu.train import checkpoint as ckpt
     from vaevar_tpu.train.forecast_trainer import (
         calculate_q,
-        make_forecast_train_step,
         multi_step_predict,
     )
     from vaevar_tpu.utils import metrics as M
     from vaevar_tpu.utils.logger import get_logger
-    from vaevar_tpu.utils.meters import MetricLogger, ScalarWriter
+    from vaevar_tpu.utils.meters import ScalarWriter
 
     hw = tuple(int(v) for v in args.grid.split("x"))
     dtype = jnp.bfloat16 if args.bf16 else None
@@ -87,12 +93,12 @@ def main():
     def norm_state(ts):
         return ((source.get_state(ts) - mean) / std).astype(np.float32)
 
-    def pair_iter(batch, lead_hours, n_targets=1):
+    def pair_iter(batch, lead_hours, n_targets=1, t0=None, t1=None):
         """Yields normalized (inp, [tar1, ...]) batches of consecutive
         lead-time frames (basemodel's one/two-step supervision,
         model/model.py:212-260)."""
-        t = pd.Timestamp(args.start_time)
-        end = pd.Timestamp(args.end_time)
+        t = pd.Timestamp(t0 or args.start_time)
+        end = pd.Timestamp(t1 or args.end_time)
         lead = pd.Timedelta(hours=lead_hours)
         while True:
             inps = []
@@ -152,33 +158,64 @@ def main():
         return
 
     # --- task == train ----------------------------------------------------
-    init_fn, train_step = make_forecast_train_step(
+    from vaevar_tpu.train.forecast_trainer import train_forecast
+    from vaevar_tpu.utils.metrics import MetricsRecorder
+
+    # held-out validation range: explicit args or the last 20% of the span
+    # (reference trains/tests on disjoint yearly ranges, training_options
+    # train_data/valid_data)
+    t0 = pd.Timestamp(args.start_time)
+    t1 = pd.Timestamp(args.end_time)
+    if args.val_start:
+        v0 = pd.Timestamp(args.val_start)
+        v1 = pd.Timestamp(args.val_end) if args.val_end else t1
+        train_end = min(t1, v0)
+    else:
+        v0 = t0 + 0.8 * (t1 - t0)
+        v1 = t1
+        train_end = v0
+
+    n_targets = 2 if args.two_step else 1
+    writer = ScalarWriter(args.out_dir)
+
+    def train_factory(epoch):
+        del epoch  # time-ordered stream; the reference's forecast loader
+        # is sequential over the archive too
+        return pair_iter(args.batch_size, 6, n_targets=n_targets,
+                         t0=t0, t1=train_end)
+
+    def val_factory():
+        return pair_iter(args.batch_size, 6, n_targets=n_targets,
+                         t0=v0, t1=v1)
+
+    recorder = MetricsRecorder(["MSE", "WRMSE"])
+
+    trainable, history = train_forecast(
         model.apply,
+        params,
+        train_factory,
+        val_factory=val_factory,
+        epochs=args.epochs,
+        steps_per_epoch=args.steps,
         loss_type=args.loss_type,
         lr=args.lr,
-        total_steps=args.steps,
         two_step=args.two_step,
         out_shape=(2 * channels.N_CHANNELS, *hw),
+        ckpt_dir=args.out_dir,
+        resume=not args.no_resume,
+        recorder=recorder,
+        data_std=channels.STD,
+        logger=logger.info,
+        log_every=args.log_every,
     )
-    trainable, opt_state = init_fn(params)
-    step_j = jax.jit(train_step, donate_argnums=(0, 1))
-
-    writer = ScalarWriter(args.out_dir)
-    ml = MetricLogger(logger=logger)
-    it = pair_iter(args.batch_size, 6, n_targets=2 if args.two_step else 1)
-    for step, (inp, tars) in enumerate(ml.log_every(it, args.log_every,
-                                                    header="train")):
-        if step >= args.steps:
-            break
-        trainable, opt_state, loss = step_j(
-            trainable, opt_state, jnp.asarray(inp),
-            [jnp.asarray(t) for t in tars],
-        )
-        ml.update(loss=float(loss))
-        writer.add_scalar("loss", float(loss), step)
-    ckpt.save(os.path.join(args.out_dir, "checkpoint_latest"),
+    for s, l in enumerate(history):
+        writer.add_scalar("loss", l, s)
+    # bare-params alias for downstream consumers (DA engine loads params
+    # only, like the reference's state_dict-only VAE ckpts)
+    ckpt.save(os.path.join(args.out_dir, "params_latest"),
               trainable["model"])
-    logger.info(f"saved checkpoint to {args.out_dir}/checkpoint_latest")
+    logger.info(f"saved train state to {args.out_dir}/checkpoint_latest "
+                f"(+best) and bare params to params_latest")
 
 
 if __name__ == "__main__":

@@ -22,7 +22,13 @@ def arg_parser():
     p.add_argument("--nmc_steps", type=int, default=4)
     p.add_argument("--fengwu_ckpt", type=str, default=None)
     p.add_argument("--vae_ckpt", type=str, default=None,
-                   help="resume VAE params")
+                   help="warm-start VAE params from a bare-params checkpoint")
+    p.add_argument("--no_resume", action="store_true",
+                   help="ignore an existing checkpoint_latest in --out_dir")
+    p.add_argument("--mesh", type=str, default=None,
+                   help="device mesh 'DP' or 'DPxSHxSW' (e.g. 8 or 2x2x2) "
+                   "for data-parallel (+spatially sharded) training; "
+                   "default: no mesh (single device)")
     p.add_argument("--out_dir", type=str, default="output/vae")
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--bf16", action="store_true", default=True)
@@ -97,14 +103,40 @@ def main():
 
     vae = VAE(enc_cfg, dec_cfg)
 
-    loader = list(
-        batched_loader(ds, args.batch_size, seed=args.seed)
-    )
+    mesh = None
+    if args.mesh:
+        from vaevar_tpu.parallel import mesh as pmesh
+
+        dims = [int(v) for v in args.mesh.split("x")]
+        if len(dims) == 1:
+            axes = {"dp": dims[0]}
+        elif len(dims) == 3:
+            axes = {"dp": dims[0], "sh": dims[1], "sw": dims[2]}
+        else:
+            raise SystemExit(f"--mesh must be 'DP' or 'DPxSHxSW', got "
+                             f"{args.mesh!r}")
+        total = 1
+        for d in dims:
+            total *= d
+        mesh = pmesh.make_mesh(axes, jax.devices()[:total])
+        logger.info(f"mesh: {axes} over {jax.device_count()} devices "
+                    f"({jax.process_count()} processes)")
+
+    # streaming per-epoch loader: reshuffles each epoch, shards the sample
+    # stream across hosts (DistributedSampler analogue)
+    rank, world = jax.process_index(), jax.process_count()
+
+    def loader_factory(epoch: int):
+        return batched_loader(ds, args.batch_size, seed=args.seed,
+                              epoch=epoch, rank=rank, world_size=world)
+
+    init_params = ckpt.restore(args.vae_ckpt) if args.vae_ckpt else None
+
     params, history = train_vae(
         vae,
         flow.apply,
         fengwu_params,
-        loader,
+        loader_factory,
         epochs=args.epochs,
         sigma=args.sigma,
         lr=args.lr,
@@ -112,10 +144,16 @@ def main():
         nmc_steps=args.nmc_steps,
         seed=args.seed,
         logger=logger.info,
+        mesh=mesh,
+        ckpt_dir=args.out_dir,
+        resume=not args.no_resume,
+        init_params=init_params,
     )
-    os.makedirs(args.out_dir, exist_ok=True)
-    ckpt.save(os.path.join(args.out_dir, "vae_latest"), params)
-    logger.info("saved VAE checkpoint")
+    if jax.process_index() == 0:
+        os.makedirs(args.out_dir, exist_ok=True)
+        # bare-params save too (the reference's raw VAE state_dict files)
+        ckpt.save(os.path.join(args.out_dir, "vae_latest"), params)
+        logger.info("saved VAE checkpoint")
 
 
 if __name__ == "__main__":

@@ -52,13 +52,35 @@ class NMCSequenceDataset:
         return np.stack(frames).astype(np.float32)  # (length, 69, H, W)
 
 
+def epoch_indices(
+    n: int, shuffle: bool = True, seed: int = 0, epoch: int = 0,
+    rank: int = 0, world_size: int = 1,
+) -> np.ndarray:
+    """DistributedSampler analogue (reference utils/builder.py:128-138 +
+    torch DistributedSampler semantics): one global permutation per epoch
+    (seed + epoch, so every epoch reshuffles and all ranks agree), padded
+    by wrap-around to a multiple of world_size, then stride-sliced so each
+    process sees a disjoint 1/world_size of the samples."""
+    idx = np.arange(n)
+    if shuffle:
+        np.random.default_rng(seed + epoch).shuffle(idx)
+    if world_size > 1:
+        total = -(-n // world_size) * world_size
+        if total > n:
+            idx = np.concatenate([idx, idx[: total - n]])
+        idx = idx[rank::world_size]
+    return idx
+
+
 def batched_loader(
     dataset, batch_size: int, shuffle: bool = True, seed: int = 0,
-    drop_last: bool = True,
+    drop_last: bool = True, epoch: int = 0, rank: int = 0,
+    world_size: int = 1,
 ) -> Iterator[np.ndarray]:
-    idx = np.arange(len(dataset))
-    if shuffle:
-        np.random.default_rng(seed).shuffle(idx)
+    """Streams per-process batches; never materializes the epoch. `epoch`
+    reshuffles (pass the epoch number each epoch), rank/world_size shard
+    the sample stream across hosts."""
+    idx = epoch_indices(len(dataset), shuffle, seed, epoch, rank, world_size)
     n_full = len(idx) // batch_size
     end = n_full * batch_size if drop_last else len(idx)
     for s in range(0, end, batch_size):

@@ -103,3 +103,16 @@ def constrain(x, mesh: Mesh, spec: P):
 
 def replicate(tree, mesh: Mesh):
     return jax.device_put(tree, NamedSharding(mesh, P()))
+
+
+def global_batch(local_batch, mesh: Mesh, spec: P):
+    """Assemble a (possibly multihost) global batch from this process's
+    local shard. Single-process: a plain sharded device_put. Multihost:
+    each process contributes its slice of the dp axis
+    (jax.make_array_from_process_local_data) — together with
+    data.nmc.epoch_indices(rank, world_size) this is the reference's
+    DistributedSampler+DDP input path (utils/builder.py:128-138)."""
+    sharding = NamedSharding(mesh, spec)
+    if jax.process_count() > 1:
+        return jax.make_array_from_process_local_data(sharding, local_batch)
+    return jax.device_put(local_batch, sharding)

@@ -106,6 +106,146 @@ def make_forecast_train_step(
     return init_fn, train_step
 
 
+def make_eval_step(model_apply, loss_type: str = "Possloss",
+                   two_step: bool = False):
+    """Validation step (reference basemodel.test_one_step,
+    model/model.py:235-257): same loss as training plus the prediction
+    mean half for metric evaluation."""
+
+    def eval_step(trainable, inp, tars):
+        params = trainable["model"]
+        pred = model_apply(params, inp)
+        nch = tars[0].shape[1]
+        if loss_type == "Possloss":
+            loss = poss_loss(pred, tars[0], trainable["max_logvar"],
+                             trainable["min_logvar"])
+        else:
+            loss = lp_loss(pred[:, :nch], tars[0])
+        if two_step and len(tars) > 1:
+            pred2 = model_apply(params, pred[:, :nch])
+            if loss_type == "Possloss":
+                loss = loss + poss_loss(pred2, tars[1],
+                                        trainable["max_logvar"],
+                                        trainable["min_logvar"])
+            else:
+                loss = loss + lp_loss(pred2[:, :nch], tars[1])
+        return loss, pred[:, :nch]
+
+    return jax.jit(eval_step)
+
+
+def evaluate(eval_step, trainable, val_iter: Iterable, recorder=None,
+             data_std=None) -> dict:
+    """Run the validation loop; returns mean scalars over batches —
+    the reference's basemodel.test (model/model.py:414-431). `recorder`
+    is a utils.metrics.MetricsRecorder; metrics are evaluated on the
+    normalized fields with data_std scaling to physical units."""
+    sums, n = {}, 0
+    for inp, tars in val_iter:
+        inp_j = jnp.asarray(inp)
+        tars_j = [jnp.asarray(t) for t in tars]
+        loss, pred = eval_step(trainable, inp_j, tars_j)
+        scalars = {"loss": float(loss)}
+        if recorder is not None:
+            scalars.update(recorder.evaluate_batch({
+                "pred": np.asarray(pred), "gt": np.asarray(tars[0]),
+                "std": data_std,
+            }))
+        for k, v in scalars.items():
+            sums[k] = sums.get(k, 0.0) + v
+        n += 1
+    return {k: v / max(n, 1) for k, v in sums.items()}
+
+
+def train_forecast(
+    model_apply,
+    init_params,
+    train_factory,  # epoch -> iterable of (inp, [tar...]) normalized batches
+    val_factory=None,  # () -> iterable for the held-out validation range
+    epochs: int = 1,
+    steps_per_epoch: int | None = None,
+    loss_type: str = "Possloss",
+    lr: float = 5e-6,
+    two_step: bool = False,
+    out_shape=None,
+    ckpt_dir: str | None = None,
+    resume: bool = True,
+    save_best_param: str = "loss",
+    recorder=None,
+    data_std=None,
+    logger=print,
+    log_every: int = 10,
+):
+    """Epoch-loop trainer with validation-driven best-checkpoint selection
+    and full mid-run resume — the reference's basemodel.trainer
+    (model/model.py:396-410) + save/load_checkpoint (:313-382).
+
+    Checkpoints carry {model+logvar bounds, optimizer state, epoch,
+    metric_best}; checkpoint_best is refreshed whenever the epoch's mean
+    validation `save_best_param` improves (reference whether_save_best,
+    save_best default "MSE" → here default "loss")."""
+    total = (steps_per_epoch or 1000) * epochs
+    init_fn, train_step = make_forecast_train_step(
+        model_apply, loss_type=loss_type, lr=lr, total_steps=total,
+        two_step=two_step, out_shape=out_shape,
+    )
+    trainable, opt_state = init_fn(init_params)
+    eval_step = make_eval_step(model_apply, loss_type, two_step)
+
+    start_epoch = 0
+    metric_best = None
+    if ckpt_dir and resume:
+        from vaevar_tpu.train import checkpoint as ckpt
+
+        got = ckpt.restore_train_state(ckpt_dir, trainable, opt_state)
+        if got is not None:
+            trainable, opt_state, meta = got
+            start_epoch = int(meta.get("epoch", -1)) + 1
+            metric_best = meta.get("metric_best")
+            logger(f"resumed at epoch {start_epoch} "
+                   f"(metric_best={metric_best})")
+
+    step_j = jax.jit(train_step, donate_argnums=(0, 1))
+    history = []
+    for epoch in range(start_epoch, epochs):
+        for j, (inp, tars) in enumerate(train_factory(epoch)):
+            if steps_per_epoch is not None and j >= steps_per_epoch:
+                break
+            trainable, opt_state, loss = step_j(
+                trainable, opt_state, jnp.asarray(inp),
+                [jnp.asarray(t) for t in tars],
+            )
+            if (j + 1) % log_every == 0:
+                logger(f"epoch {epoch} iter {j} loss {float(loss):.4f}")
+            history.append(float(loss))
+        val = {}
+        if val_factory is not None:
+            val = evaluate(eval_step, trainable, val_factory(), recorder,
+                           data_std)
+            shown = {k: v for k, v in val.items() if not k[-1].isdigit()}
+            shown.update({  # the reference's channels of record
+                k: val[k] for k in ("WRMSE11", "WRMSE66", "WRMSE2")
+                if k in val
+            })
+            logger(f"epoch {epoch} val: " + " ".join(
+                f"{k} {v:.4g}" for k, v in sorted(shown.items())))
+        if ckpt_dir and jax.process_index() == 0:
+            from vaevar_tpu.train import checkpoint as ckpt
+
+            metric_now = val.get(save_best_param)
+            if metric_now is not None and (
+                metric_best is None or metric_now < metric_best
+            ):
+                metric_best = metric_now
+                ckpt.save_train_state(ckpt_dir, trainable, opt_state, epoch,
+                                      metric_best=metric_best,
+                                      alias="checkpoint_best")
+            ckpt.save_train_state(ckpt_dir, trainable, opt_state, epoch,
+                                  metric_best=metric_best,
+                                  alias="checkpoint_latest")
+    return trainable, history
+
+
 def calculate_q(model_apply, params, pairs: Iterable) -> np.ndarray:
     """Per-pixel one-step forecast error variance (model/model.py:469-490).
 

@@ -88,7 +88,7 @@ def train_vae(
     vae: VAE,
     fengwu_apply: Callable,
     fengwu_params,
-    data_iter: Iterable,
+    data_iter: Iterable | Callable,
     epochs: int = 1,
     steps_per_epoch: int | None = None,
     sigma: float = 2.0,
@@ -99,35 +99,96 @@ def train_vae(
     log_every: int = 10,
     logger=print,
     sample_at_epoch_end: bool = True,
+    mesh=None,
+    ckpt_dir: str | None = None,
+    resume: bool = True,
+    init_params=None,
 ):
-    """Full training loop (host iteration over `data_iter` batches)."""
+    """Full training loop, streaming host batches.
+
+    `data_iter` is either a plain iterable (reused every epoch) or a
+    factory `epoch -> iterable` — pass the factory for per-epoch
+    reshuffling (reference DistributedSampler.set_epoch,
+    utils/builder.py:133). With `mesh`, batches are sharded over the
+    "dp" axis (+ spatial axes if present) and params/opt state are
+    replicated — XLA inserts the gradient all-reduce. With `ckpt_dir`,
+    the full train state {params, opt_state, epoch, metric_best} is
+    saved at every epoch end as checkpoint_latest (+ checkpoint_best on
+    improvement) and training RESUMES from checkpoint_latest when one
+    exists (reference model/model.py:313-382). Per-step RNG is derived
+    by fold_in(seed, epoch, step) so a resumed run replays the identical
+    trajectory from the restored epoch boundary.
+    """
     init_fn, train_step = make_vae_train_step(
         vae, fengwu_apply, sigma, lr, latent_hw, nmc_steps
     )
-    step_j = jax.jit(train_step)
-    rng = jax.random.PRNGKey(seed)
+    step_j = jax.jit(train_step, donate_argnums=(0, 1))
+    base_rng = jax.random.PRNGKey(seed)
 
-    first = next(iter(data_iter))
-    params, opt_state = init_fn(rng, jnp.asarray(first), fengwu_params)
+    factory = data_iter if callable(data_iter) else (lambda _e: data_iter)
+
+    first = next(iter(factory(0)))
+    if init_params is not None:
+        # warm start from given params (e.g. --vae_ckpt): fresh optimizer,
+        # same state structure as make_vae_train_step's internal adam(lr)
+        params = init_params
+        opt_state = optax.adam(lr).init(params)
+    else:
+        params, opt_state = init_fn(base_rng, jnp.asarray(first),
+                                    fengwu_params)
+
+    start_epoch = 0
+    metric_best = float("inf")
+    if ckpt_dir and resume:
+        from vaevar_tpu.train import checkpoint as ckpt
+
+        got = ckpt.restore_train_state(ckpt_dir, params, opt_state)
+        if got is not None:
+            params, opt_state, meta = got
+            start_epoch = int(meta.get("epoch", -1)) + 1
+            metric_best = float(meta.get("metric_best", float("inf")))
+            logger(f"resumed from {ckpt_dir}/checkpoint_latest at epoch "
+                   f"{start_epoch}")
+
+    if mesh is not None:
+        from jax.sharding import PartitionSpec as P
+
+        from vaevar_tpu.parallel import mesh as pmesh
+
+        ax = mesh.axis_names
+        dp = "dp" if "dp" in ax else None
+        sh = "sh" if "sh" in ax else None
+        sw = "sw" if "sw" in ax else None
+        bspec = P(dp, None, None, sh, sw)  # (B, L, C, H, W)
+        params = pmesh.replicate(params, mesh)
+        opt_state = pmesh.replicate(opt_state, mesh)
+        fengwu_params = pmesh.replicate(fengwu_params, mesh)
+        put = lambda b: pmesh.global_batch(np.ascontiguousarray(b), mesh,
+                                           bspec)
+    else:
+        put = jnp.asarray
 
     history = []
-    for epoch in range(epochs):
-        for j, batch in enumerate(data_iter):
+    for epoch in range(start_epoch, epochs):
+        epoch_losses = []
+        for j, batch in enumerate(factory(epoch)):
             if steps_per_epoch is not None and j >= steps_per_epoch:
                 break
-            rng, sub = jax.random.split(rng)
+            sub = jax.random.fold_in(jax.random.fold_in(base_rng, epoch), j)
             params, opt_state, m = step_j(
-                params, opt_state, fengwu_params, jnp.asarray(batch), sub
+                params, opt_state, fengwu_params, put(batch), sub
             )
             if (j + 1) % log_every == 0:
                 logger(
                     f"epoch {epoch} iter {j} loss {float(m['loss']):.3f} "
                     f"rec {float(m['rec_sse']):.3f} kld {float(m['kld']):.3f}"
                 )
-            history.append({k: float(v) for k, v in m.items()})
+            rec = {k: float(v) for k, v in m.items()}
+            history.append(rec)
+            epoch_losses.append(rec["loss"])
         if sample_at_epoch_end:
             # prior sample sanity check (model/model.py:648-653)
-            rng, sub = jax.random.split(rng)
+            sub = jax.random.fold_in(base_rng, 10_000 + epoch)
             latent_ch = vae.dec_cfg.in_chans
             z = jax.random.normal(sub, (1, latent_ch, *latent_hw))
             y = vae.apply(params, z, method=VAE.decoder)
@@ -135,6 +196,19 @@ def train_vae(
                 f"epoch {epoch} prior-sample std "
                 f"{float(jnp.std(y)):.3f}"
             )
+        if ckpt_dir and jax.process_index() == 0:
+            from vaevar_tpu.train import checkpoint as ckpt
+
+            epoch_mean = float(np.mean(epoch_losses)) if epoch_losses \
+                else float("inf")
+            if epoch_mean < metric_best:
+                metric_best = epoch_mean
+                ckpt.save_train_state(ckpt_dir, params, opt_state, epoch,
+                                      metric_best=metric_best,
+                                      alias="checkpoint_best")
+            ckpt.save_train_state(ckpt_dir, params, opt_state, epoch,
+                                  metric_best=metric_best,
+                                  alias="checkpoint_latest")
     return params, history
 
 
