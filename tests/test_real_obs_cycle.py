@@ -74,6 +74,7 @@ class TestRealObsCycle:
             verbose=False,
         )
 
+    @pytest.mark.slow
     def test_real_simu_cycle(self, tmp_path):
         da = self._mk(tmp_path)
         yo, H, R, gt = da.get_obs_info(__import__("pandas").Timestamp("2022-01-01"))
@@ -84,6 +85,7 @@ class TestRealObsCycle:
         da.run_assimilation("2022-01-01 00:00", "2022-01-01 06:00")
         assert len(da.metrics_list["ana_wrmse"]) == 1
 
+    @pytest.mark.slow
     def test_real_obs_values_match_truth(self, tmp_path):
         # real_simu substitutes yo = gt_aug * H, so innovations at obs
         # points are zero against the truth
@@ -97,6 +99,7 @@ class TestRealObsCycle:
         diff = np.asarray((yo - gt_aug) * H)
         np.testing.assert_allclose(diff, 0.0, atol=1e-4)
 
+    @pytest.mark.slow
     def test_eval_holdout(self, tmp_path):
         da = self._mk(tmp_path, use_eval=True)
         da.run_assimilation("2022-01-01 00:00", "2022-01-01 06:00")
@@ -104,3 +107,55 @@ class TestRealObsCycle:
         err = da.metrics_list["error_obs"][0]
         assert err.shape == (204,)
         assert np.isfinite(err).all()
+
+
+class TestSecondFileSlots:
+    """End-to-end da_win=6 two-file gridding: the second report file
+    (valid at +6h) maps NEGATIVE time offsets onto window slots 3-5
+    (reference da_4dvar.py:251-257), the first file onto slots 0-3."""
+
+    @staticmethod
+    def _report(dt, level=500.0, t_c=10.0):
+        return {
+            "position": [90.0, 45.0, level, dt],
+            "value": [level, None, None, None, None, t_c, None, None],
+        }
+
+    def test_two_file_slot_mapping(self):
+        from vaevar_tpu.da import obs as obs_mod
+
+        hw = (181, 360)
+        first = {f"a{i}": self._report(dt, t_c=10.0 + i)
+                 for i, dt in enumerate([0.0, 1.0, 2.0, 3.0, -1.0])}
+        second = {f"b{i}": self._report(dt, t_c=20.0 + i)
+                  for i, dt in enumerate([-3.0, -2.0, -1.0, 0.0])}
+        yo, Hm = obs_mod.grid_real_obs([first, second], da_win=6,
+                                       dim_out=40, hw=hw)
+        lat, lon = obs_mod._grid_indices(90.0, 45.0, hw)
+        levels = obs_mod.obs_height_levels(40)
+        bins = np.sqrt(levels[:-1] * levels[1:])
+        h = int(np.sum((bins - 500.0) <= 0))
+        tmp_layer = 4 + h + 4 * 40  # temperature block
+
+        got_slots = set(np.nonzero(Hm[:, tmp_layer, lat, lon])[0].tolist())
+        # first file: dt 0,1,2,3 -> slots 0..3; dt=-1 dropped.
+        # second file: dt -3,-2,-1 -> slots 3,4,5; dt=0 dropped.
+        assert got_slots == {0, 1, 2, 3, 4, 5}
+
+        # slot 3 averages the first file's dt=3.0 (t=13C) and the second
+        # file's dt=-3.0 (t=20C) reports: (13+20)/2 + 273.15 (+lapse 0 at
+        # exactly the bin level) in Kelvin
+        corr = obs_mod._temperature_coeff(h) * (
+            np.log(500.0) - np.log(levels[h])
+        )
+        want3 = (13.0 + 20.0) / 2 + 273.15 + corr
+        assert yo[3, tmp_layer, lat, lon] == pytest.approx(want3, rel=1e-6)
+        # slots 4, 5 carry only the second file's values
+        want4 = 21.0 + 273.15 + corr
+        assert yo[4, tmp_layer, lat, lon] == pytest.approx(want4, rel=1e-6)
+
+    def test_interp_dim_guard(self):
+        from vaevar_tpu.da import obs as obs_mod
+
+        with pytest.raises(ValueError, match="40-level"):
+            obs_mod.grid_real_obs([{}], da_win=1, dim_out=20, hw=(16, 32))

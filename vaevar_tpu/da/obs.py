@@ -212,6 +212,9 @@ def station_mask_from_reports(
 
 
 def _geopotential_coeff(idx: int) -> float:
+    """Calibrated for the 40-level obs ladder ONLY (da_4dvar.py:314-321):
+    the idx thresholds 0/16 are positions in that specific log-pressure
+    ladder. grid_real_obs guards dim_out accordingly."""
     if idx == 0:
         return 61245.0
     if idx <= 16:
@@ -220,6 +223,7 @@ def _geopotential_coeff(idx: int) -> float:
 
 
 def _temperature_coeff(idx: int) -> float:
+    """Calibrated for the 40-level obs ladder ONLY (da_4dvar.py:322-326)."""
     return 0.0 if idx <= 21 else -25.0
 
 
@@ -230,6 +234,15 @@ def grid_real_obs(
     (da_4dvar.py:301-440): unit conversions (z*9.8, q*1e-6, t+273.15,
     msl*100), log-pressure lapse corrections for z and t, multi-report
     averaging per cell."""
+    if dim_out != 40:
+        # the z/t lapse-correction coefficients hard-code thresholds that
+        # are only meaningful at positions in the 40-level ladder; any
+        # other dim_out would silently mis-correct every z/t report
+        raise ValueError(
+            f"grid_real_obs lapse corrections are calibrated for the "
+            f"40-level obs ladder (got dim_out={dim_out}); use "
+            f"interp_dim=40 with real observations"
+        )
     C = 4 + 5 * dim_out
     Hm = np.zeros((da_win, C, *hw), np.float32)
     cnt = np.zeros((da_win, C, *hw), np.float32) + 1e-10
