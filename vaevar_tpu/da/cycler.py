@@ -37,6 +37,21 @@ _METRIC_KEYS = (
 )
 
 
+@jax.jit
+def _score_device(x, gt0):
+    """Physical-unit WRMSE/bias/MSE of a field vs truth, fully on device
+    (da_4dvar.py:946-957 semantics: metrics on normalized fields scaled
+    back by STD)."""
+    mean = jnp.asarray(channels.MEAN).reshape(-1, 1, 1)
+    std = jnp.asarray(channels.STD).reshape(-1, 1, 1)
+    xn = (x - mean) / std
+    gn = (gt0 - mean) / std
+    wrmse = M.weighted_rmse(xn[None], gn[None]) * jnp.asarray(channels.STD)
+    bias = M.weighted_bias((xn - gn)[None]) * jnp.asarray(channels.STD)
+    mse = jnp.mean((xn - gn) ** 2)
+    return wrmse, bias, mse
+
+
 @dataclass
 class CycledDA:
     cfg: DAConfig
@@ -254,20 +269,16 @@ class CycledDA:
         )
 
     def _score(self, prefix, x, gt0):
-        mean = channels.MEAN.reshape(-1, 1, 1)
-        std = channels.STD.reshape(-1, 1, 1)
-        xn = (np.asarray(x) - mean) / std
-        gn = (np.asarray(gt0) - mean) / std
-        wrmse = np.asarray(
-            M.weighted_rmse(jnp.asarray(xn)[None], jnp.asarray(gn)[None])
-        ) * channels.STD
-        bias = np.asarray(
-            M.weighted_bias(jnp.asarray(xn - gn)[None])
-        ) * channels.STD
-        mse = float(np.mean((xn - gn) ** 2))
+        # one jitted device program + one tiny (69,)-sized host pull per
+        # score — no full-field host round-trips (the reference pulls via
+        # .cpu() at da_4dvar.py:1127-1128; the solver path here stays
+        # on-device, so scoring shouldn't be the sync point either)
+        wrmse, bias, mse = jax.device_get(
+            _score_device(jnp.asarray(x), jnp.asarray(gt0))
+        )
         self.metrics_list[f"{prefix}_wrmse"].append(wrmse)
         self.metrics_list[f"{prefix}_bias"].append(bias)
-        self.metrics_list[f"{prefix}_mse"].append(mse)
+        self.metrics_list[f"{prefix}_mse"].append(float(mse))
         return wrmse
 
     def _obs_holdout_error(self, xa, yo0, H_old0):
