@@ -14,12 +14,19 @@ vs_baseline is measured against the BASELINE.md north-star budget of a
 1-month cycled run on v5e-8 in <10 min, i.e. 600 s / 124 cycles = 4.84 s
 per cycle; vs_baseline = budget / measured (>1 means faster than target).
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Default run prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+
+`python bench.py --full` additionally times the sc4dvar 3D-Var cycle (CVT
+B^1/2 control, da_4dvar.py:1064-1177 config) and the vae4dvar da_win=6
+4D-Var cycle (hourly flow-model rollout inside the cost,
+da_4dvar.py:1190-1194), printing one JSON line per metric (primary LAST)
+and writing all of them to bench_full.json for regression tracking.
 """
 
 from __future__ import annotations
 
 import json
+import sys
 import time
 
 import jax
@@ -29,39 +36,40 @@ import numpy as np
 BUDGET_S_PER_CYCLE = 600.0 / 124.0  # v5e-8 north star
 
 
-def main():
-    from vaevar_tpu.utils import compile_cache
-
-    compile_cache.enable()
-
+def _setup(da_win: int = 1, need_flow: bool = True, need_decoder: bool = True):
+    """Models + synthetic per-cycle data at the config of record."""
     from vaevar_tpu import channels
     from vaevar_tpu.config import DAConfig, FLOW_140, VAE_DECODER
-    from vaevar_tpu.da import cost as cost_mod, obs as obs_mod
+    from vaevar_tpu.da import obs as obs_mod
     from vaevar_tpu.da.cost import ObsBundle
     from vaevar_tpu.da.dynamics import make_integrate
-    from vaevar_tpu.da.solver import VariationalSolver
     from vaevar_tpu.models.lgunet import LGUnet
+    from vaevar_tpu.utils.fast_init import fast_init
 
     cfg = DAConfig()  # config of record
     HW = cfg.grid_hw  # (721, 1440)
     dtype = jnp.bfloat16
 
-    from vaevar_tpu.utils.fast_init import fast_init
+    params = {}
+    decoder = None
+    if need_decoder:
+        # remat for da_win>1, matching run_da.py's production settings
+        dec_cfg = VAE_DECODER.replace(dtype=dtype, remat=da_win > 1)
+        decoder = LGUnet(dec_cfg)
+        z0 = jnp.zeros(cfg.latent_shape, jnp.float32)
+        params["decoder"] = jax.device_put(fast_init(decoder, z0, seed=0))
 
-    dec_cfg = VAE_DECODER.replace(dtype=dtype)
-    decoder = LGUnet(dec_cfg)
-    z0 = jnp.zeros(cfg.latent_shape, jnp.float32)
-    dec_params = jax.device_put(fast_init(decoder, z0, seed=0))
-
-    flow_cfg = FLOW_140.replace(dtype=dtype)
-    flow = LGUnet(flow_cfg)
-    flow_params = jax.device_put(
-        fast_init(flow, jnp.zeros((1, 69, 128, 256)), seed=1)
-    )
-    integrate = jax.jit(
-        lambda p, x: make_integrate(flow.apply, (128, 256))(p, x, 1, True)
-    )
-    params = {"decoder": dec_params, "flow": flow_params}
+    flow = None
+    integrate = None
+    if need_flow:
+        flow_cfg = FLOW_140.replace(dtype=dtype, remat=da_win > 1)
+        flow = LGUnet(flow_cfg)
+        params["flow"] = jax.device_put(
+            fast_init(flow, jnp.zeros((1, 69, 128, 256)), seed=1)
+        )
+        integrate = jax.jit(
+            lambda p, x: make_integrate(flow.apply, (128, 256))(p, x, 1, True)
+        )
 
     # synthetic cycle data (host-side, outside the timed region)
     rr = np.random.default_rng(0)
@@ -69,61 +77,150 @@ def main():
         -1, 1, 1
     ) * rr.normal(size=(69, *HW)).astype(np.float32)
     xb = jnp.asarray(base, jnp.float32)
-    gt = jnp.asarray(
-        base + 0.3 * channels.STD.reshape(-1, 1, 1) * rr.normal(size=(69, *HW)),
-        jnp.float32,
-    )[None]
-    Hm = jnp.asarray(
-        obs_mod.make_obs_mask(cfg.obs_type, cfg.da_win, HW, rr)
+    gt1 = base + 0.3 * channels.STD.reshape(-1, 1, 1) * rr.normal(
+        size=(69, *HW)
     )
+    gt = jnp.broadcast_to(
+        jnp.asarray(gt1, jnp.float32)[None], (da_win, 69, *HW)
+    )
+    Hm = jnp.asarray(obs_mod.make_obs_mask(cfg.obs_type, da_win, HW, rr))
     R = jnp.asarray(
         obs_mod.build_R(
             obs_mod.obs_error_variance(cfg.obs_std, cfg.modify_tp), None,
-            cfg.da_win, HW,
+            da_win, HW,
         )
     )
-    full_bundle = ObsBundle(xb=xb, yo=gt, H=Hm, R=R)
-    reduce = jax.jit(lambda b: cost_mod.reduce_obs(b, (128, 256)))
+    bundle = ObsBundle(xb=xb, yo=gt, H=Hm, R=R)
+    return cfg, decoder, flow, integrate, params, bundle
 
-    c, to_state, parts = cost_mod.make_vae4dvar_cost_reduced(decoder.apply)
-    solver = VariationalSolver(c, to_state, parts, lbfgs_iters=cfg.lbfgs_iters,
-                               history=cfg.lbfgs_history)
 
-    def one_cycle(full):
-        # per-cycle obs reduction onto the solver grid (exact, cost.ReducedObs)
-        bundle = reduce(full)
-        _, xa, _ = solver.solve(z0, bundle, params, nit=cfg.nit, gt=None,
-                                verbose=False)
-        xb_next = integrate(params["flow"], xa)
-        return xb_next
-
+def _sync(x):
     # forces completion even where block_until_ready returns early (the
     # remote-TPU tunnel): a host read cannot happen before the value exists
-    def sync(x):
-        return float(jnp.sum(x[0, ::97, ::101]))
+    return float(jnp.sum(x[0, ::97, ::101]))
 
-    # warmup (compile)
-    xb_next = one_cycle(full_bundle)
-    sync(xb_next)
 
-    # timed cycles
-    n = 3
+def _time_cycles(one_cycle, full_bundle, n: int = 3):
+    xb_next = one_cycle(full_bundle)  # warmup (compile)
+    _sync(xb_next)
     t0 = time.time()
     for _ in range(n):
         xb_next = one_cycle(full_bundle._replace(xb=xb_next))
-        sync(xb_next)
-    dt = (time.time() - t0) / n
+        _sync(xb_next)
+    return (time.time() - t0) / n
 
-    print(
-        json.dumps(
-            {
-                "metric": "sec_per_da_cycle_vae4dvar_3dvar_721x1440",
-                "value": round(dt, 3),
-                "unit": "s",
-                "vs_baseline": round(BUDGET_S_PER_CYCLE / dt, 3),
-            }
-        )
+
+def bench_vae4dvar_3dvar():
+    """PRIMARY: the reference launch config (da_win=1, reduced obs)."""
+    from vaevar_tpu.da import cost as cost_mod
+    from vaevar_tpu.da.solver import VariationalSolver
+
+    cfg, decoder, _flow, integrate, params, full_bundle = _setup(da_win=1)
+    z0 = jnp.zeros(cfg.latent_shape, jnp.float32)
+    reduce = jax.jit(lambda b: cost_mod.reduce_obs(b, (128, 256)))
+    c, to_state, parts = cost_mod.make_vae4dvar_cost_reduced(decoder.apply)
+    solver = VariationalSolver(c, to_state, parts,
+                               lbfgs_iters=cfg.lbfgs_iters,
+                               history=cfg.lbfgs_history)
+
+    def one_cycle(full):
+        bundle = reduce(full)
+        _, xa, _ = solver.solve(z0, bundle, params, nit=cfg.nit, gt=None,
+                                verbose=False)
+        return integrate(params["flow"], xa)
+
+    dt = _time_cycles(one_cycle, full_bundle)
+    return {
+        "metric": "sec_per_da_cycle_vae4dvar_3dvar_721x1440",
+        "value": round(dt, 3),
+        "unit": "s",
+        "vs_baseline": round(BUDGET_S_PER_CYCLE / dt, 3),
+    }
+
+
+def bench_sc4dvar_3dvar():
+    """sc4dvar 3D-Var: CVT B^1/2 control w (69,128,256), L-BFGS max_iter 5
+    per segment (da_4dvar.py:1109-1177), reduced obs quadratic."""
+    from vaevar_tpu.da import cost as cost_mod
+    from vaevar_tpu.da.cvt import BMatrixAssets, CVTransform
+    from vaevar_tpu.da.solver import VariationalSolver
+
+    cfg, _dec, _flow, integrate, params, full_bundle = _setup(
+        da_win=1, need_decoder=False
     )
+    cvt = CVTransform(
+        BMatrixAssets.synthetic(scale_factor=cfg.scale_factor, seed=0),
+        solver_hw=cfg.solver_hw, out_hw=cfg.grid_hw,
+    )
+    w0 = jnp.zeros((69, *cfg.solver_hw), jnp.float32)
+    reduce = jax.jit(lambda b: cost_mod.reduce_obs(b, cfg.solver_hw))
+    c, to_state, parts = cost_mod.make_sc4dvar_cost_reduced(cvt.increment)
+    solver = VariationalSolver(c, to_state, parts, lbfgs_iters=5,
+                               history=cfg.lbfgs_history)
+
+    def one_cycle(full):
+        bundle = reduce(full)
+        _, xa, _ = solver.solve(w0, bundle, params, nit=cfg.nit, gt=None,
+                                verbose=False)
+        return integrate(params["flow"], xa)
+
+    dt = _time_cycles(one_cycle, full_bundle)
+    return {
+        "metric": "sec_per_da_cycle_sc4dvar_3dvar_721x1440",
+        "value": round(dt, 3),
+        "unit": "s",
+        "vs_baseline": round(BUDGET_S_PER_CYCLE / dt, 3),
+    }
+
+
+def bench_vae4dvar_4dvar_win6():
+    """vae4dvar da_win=6: 5 hourly flow-model steps inside the cost with
+    remat'd reverse AD (da_4dvar.py:1190-1194); full windowed obs term."""
+    from vaevar_tpu.da import cost as cost_mod
+    from vaevar_tpu.da.solver import VariationalSolver
+
+    cfg, decoder, flow, integrate, params, full_bundle = _setup(da_win=6)
+    z0 = jnp.zeros(cfg.latent_shape, jnp.float32)
+    c, to_state, parts = cost_mod.make_vae4dvar_cost(
+        decoder.apply, flow_apply=flow.apply, flow_hw=(128, 256), da_win=6,
+    )
+    solver = VariationalSolver(c, to_state, parts,
+                               lbfgs_iters=cfg.lbfgs_iters,
+                               history=cfg.lbfgs_history)
+
+    def one_cycle(bundle):
+        _, xa, _ = solver.solve(z0, bundle, params, nit=cfg.nit, gt=None,
+                                verbose=False)
+        return integrate(params["flow"], xa)
+
+    dt = _time_cycles(one_cycle, full_bundle)
+    return {
+        "metric": "sec_per_da_cycle_vae4dvar_4dvar_win6_721x1440",
+        "value": round(dt, 3),
+        "unit": "s",
+        "vs_baseline": round(BUDGET_S_PER_CYCLE / dt, 3),
+    }
+
+
+def main():
+    from vaevar_tpu.utils import compile_cache
+
+    compile_cache.enable()
+
+    full = "--full" in sys.argv[1:]
+    results = []
+    if full:
+        results.append(bench_sc4dvar_3dvar())
+        results.append(bench_vae4dvar_4dvar_win6())
+    results.append(bench_vae4dvar_3dvar())  # primary metric LAST
+
+    if full:
+        with open("bench_full.json", "w") as f:
+            json.dump(results, f, indent=1)
+        for r in results:
+            print(json.dumps(r))
+    else:
+        print(json.dumps(results[-1]))
 
 
 if __name__ == "__main__":
