@@ -84,6 +84,7 @@ class TestLoraFinetune:
             np.asarray(params["params"]["mlp"]["fc1"]["kernel"]),
         )
 
+    @pytest.mark.slow
     def test_mask_on_real_lgunet_lora_params(self):
         from vaevar_tpu import config as cfgs
         from vaevar_tpu.models.lgunet import LGUnet

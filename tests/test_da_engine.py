@@ -110,6 +110,7 @@ class TestObs:
 
 
 class TestVae4dvarSolve:
+    @pytest.mark.slow
     def test_cost_decreases_and_analysis_beats_background(self):
         model, params, dec_apply = tiny_vae()
         src = SyntheticEra5(hw=HW, seed=3)
@@ -190,12 +191,14 @@ class TestCycler:
             verbose=False,
         )
 
+    @pytest.mark.slow
     def test_free_run_two_cycles(self, tmp_path):
         da = self._mk(tmp_path, "free_run")
         da.run_assimilation("2022-01-01 00:00", "2022-01-01 12:00")
         assert len(da.metrics_list["bg_wrmse"]) == 2
         assert os.path.exists(os.path.join(da.work_dir, "xb.npy"))
 
+    @pytest.mark.slow
     def test_vae4dvar_cycle_and_resume(self, tmp_path):
         da = self._mk(tmp_path, "vae4dvar")
         da.run_assimilation("2022-01-01 00:00", "2022-01-01 06:00")
@@ -241,6 +244,7 @@ class TestReducedObsCost:
     """cost.make_vae4dvar_cost_reduced == full cost for da_win=1 (exact
     algebra for nearest upsampling)."""
 
+    @pytest.mark.slow
     def test_reduced_equals_full(self):
         import functools
 
@@ -321,6 +325,7 @@ class TestReducedObsCost:
         assert np.median(rel) < 1e-5 and rel.max() < 5e-3
 
 
+@pytest.mark.slow
 class TestWindowCost4DVar:
     """da_win>1: the in-scan accumulated obs term must equal the explicit
     materialized window (obs_term over _window_predict) and be

@@ -3,6 +3,7 @@
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from vaevar_tpu.ops.attention import dense_attention
 from vaevar_tpu.ops.flash import flash_attention
@@ -21,6 +22,7 @@ class TestFlashVJP:
         f = flash_attention(q, k, v, 128, 128)
         np.testing.assert_allclose(np.asarray(f), np.asarray(d), atol=2e-5)
 
+    @pytest.mark.slow
     def test_grads_match_dense(self):
         q, k, v = (_rand((1, 2, 200, 16), 10 + i) for i in range(3))
         g = _rand((1, 2, 200, 16), 99)
@@ -36,6 +38,7 @@ class TestFlashVJP:
         for a, b in zip(gf, gd):
             np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=3e-5)
 
+    @pytest.mark.slow
     def test_nondivisible_blocks(self):
         q, k, v = (_rand((1, 1, 130, 8), 20 + i) for i in range(3))
         d = dense_attention(q, k, v)
@@ -60,6 +63,7 @@ class TestPallasKernels:
         f = pallas_attn.flash_attention(q, k, v, 128, 128, True)
         np.testing.assert_allclose(np.asarray(f), np.asarray(d), atol=2e-5)
 
+    @pytest.mark.slow
     def test_grads_match_dense(self):
         from vaevar_tpu.ops import pallas_attn
 

@@ -34,6 +34,7 @@ class TestTreeCompat:
 
 class TestNumerics:
     @pytest.mark.parametrize("shift", [(0, 0), (2, 2)])
+    @pytest.mark.slow
     def test_matches_modular_f32(self, shift):
         mod, fus = _mk_blocks(shift)
         x = jnp.asarray(
@@ -47,6 +48,7 @@ class TestNumerics:
         )
 
     @pytest.mark.parametrize("shift", [(0, 0), (2, 2)])
+    @pytest.mark.slow
     def test_matches_modular_bf16(self, shift):
         mod, fus = _mk_blocks(shift, dtype=jnp.bfloat16)
         x = jnp.asarray(
@@ -58,6 +60,7 @@ class TestNumerics:
         scale = np.abs(y_mod).max()
         np.testing.assert_allclose(y_mod / scale, y_fus / scale, atol=3e-2)
 
+    @pytest.mark.slow
     def test_grads_match_modular(self):
         mod, fus = _mk_blocks((2, 2))
         x = jnp.asarray(
@@ -154,3 +157,35 @@ class TestBiasmask:
         want = last[np.ix_(n_order, n_order)]
         # window-0 in-window additive mask must equal the reference's
         np.testing.assert_allclose(got, want, atol=1e-6)
+
+
+class TestEndToEndDrift:
+    """ADVICE: the fused path casts the residual stream to bf16 while the
+    modular path keeps an f32 residual (bf16 sub-module outputs promote
+    back on the add). Per-block equivalence (above) bounds single-block
+    error; this bounds the ACCUMULATED drift across a full relbias
+    LGUnet enc/LG/dec stack at bf16."""
+
+    @pytest.mark.slow
+    def test_full_model_bf16_fused_vs_modular(self):
+        from vaevar_tpu import config as cfgs
+        from vaevar_tpu.models.lgunet import LGUnet
+
+        base = cfgs.micro_config(
+            img_size=(16, 32), attn_type="relbias", dtype=jnp.bfloat16,
+            enc_depths=(2, 2), lg_depths=(2,),
+        )
+        mod = LGUnet(base)
+        fus = LGUnet(base.replace(fuse_blocks=True))
+        x = jnp.asarray(
+            np.random.default_rng(3).normal(size=(1, 69, 16, 32)),
+            jnp.float32,
+        )
+        params = mod.init(jax.random.PRNGKey(0), x)
+        y_mod = np.asarray(mod.apply(params, x), np.float32)
+        y_fus = np.asarray(fus.apply(params, x), np.float32)
+        scale = np.abs(y_mod).max()
+        # relative drift across the whole deep stack stays within a few
+        # bf16 ulps of the per-block tolerance — no compounding blowup
+        np.testing.assert_allclose(y_mod / scale, y_fus / scale, atol=5e-2)
+        assert np.median(np.abs(y_mod - y_fus)) / scale < 5e-3

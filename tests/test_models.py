@@ -35,6 +35,7 @@ class TestLGUnet:
         y = model.apply(params, x)
         assert y.shape == (1, 138, 32, 64)
 
+    @pytest.mark.slow
     def test_jit_and_grad(self, tiny_rope):
         cfg, model, params, x = tiny_rope
 
@@ -50,6 +51,7 @@ class TestLGUnet:
         nonzero = sum(float(jnp.abs(l).max()) > 0 for _, l in flat)
         assert nonzero > len(flat) * 0.8
 
+    @pytest.mark.slow
     def test_shift_blocks_differ_from_unshifted(self, tiny_rope):
         # sanity: translating input along longitude (periodic) nearly
         # commutes for the window stages but full output must change
@@ -58,6 +60,7 @@ class TestLGUnet:
         y2 = model.apply(params, jnp.roll(x, 8, axis=3))
         assert not np.allclose(np.asarray(y1), np.asarray(y2))
 
+    @pytest.mark.slow
     def test_remat_matches(self):
         cfg = cfgs.tiny_config()
         x = jnp.asarray(
@@ -70,6 +73,7 @@ class TestLGUnet:
         y2 = m2.apply(p, x)
         np.testing.assert_allclose(np.asarray(y1), np.asarray(y2), atol=1e-5)
 
+    @pytest.mark.slow
     def test_lora_rank_zero_init_is_identity(self):
         cfg = cfgs.tiny_config(attn_type="relbias", lg_full_attn_first=False)
         x = jnp.asarray(

@@ -51,6 +51,7 @@ class TestShardedSolve:
     def test_requires_8_devices(self):
         assert jax.device_count() >= 8
 
+    @pytest.mark.slow
     def test_sharded_matches_unsharded(self):
         cost, to_state, parts, bundle, params, z0 = setup()
         plain = VariationalSolver(cost, to_state, parts, lbfgs_iters=4)
@@ -72,6 +73,7 @@ class TestShardedSolve:
         assert rel < 1e-3, rel
         np.testing.assert_allclose(np.asarray(xa), xa_ref, atol=0.05)
 
+    @pytest.mark.slow
     def test_sharded_solve_reduces_cost(self):
         cost, to_state, parts, bundle, params, z0 = setup()
         mesh = pmesh.make_mesh({"sh": 2, "sw": 4})
@@ -82,6 +84,7 @@ class TestShardedSolve:
         j1 = float(cost(z, bundle, params))
         assert j1 < j0
 
+    @pytest.mark.slow
     def test_sharded_reduced_obs_matches_unsharded(self):
         """Mesh-sharded solve on the REDUCED obs quadratic (the config of
         record: da_win=1 + --mesh). ReducedObs carries a 0-d field (c),

@@ -137,6 +137,7 @@ def torch_model_and_input():
     return model, x.numpy(), y_ref.numpy()
 
 
+@pytest.mark.slow
 class TestGoldenParity:
     def test_forward_matches_reference(self, torch_model_and_input):
         model, x, y_ref = torch_model_and_input
@@ -220,6 +221,7 @@ def _make_old_torch(rank=2, seed=0):
     return model
 
 
+@pytest.mark.slow
 class TestOldGenParity:
     def test_forward_matches_reference_with_lora(self):
         _install_stubs()
@@ -235,6 +237,7 @@ class TestOldGenParity:
         np.testing.assert_allclose(np.asarray(y), y_ref, atol=2e-4, rtol=2e-3)
 
 
+@pytest.mark.slow
 class TestVAEParity:
     def test_vae_lr_roundtrip(self):
         """Port a reference VAE_lr (enc 69->16, dec 8->69 style micro) and

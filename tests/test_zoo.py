@@ -239,6 +239,7 @@ class TestBlocks:
 
 
 class TestGradients:
+    @pytest.mark.slow
     def test_zoo_modules_differentiable(self):
         x = _x((1, *HW, 16))
         for m in [zoo.GAUAttention(16, (4, 4), s=8),
