@@ -33,6 +33,10 @@ def arg_parser():
     p.add_argument("--val_end", type=str, default=None)
     p.add_argument("--no_resume", action="store_true",
                    help="ignore an existing checkpoint_latest in --out_dir")
+    p.add_argument("--mesh", type=str, default=None,
+                   help="device mesh 'DP' or 'DPxSHxSW' (e.g. 8 or 2x2x2) "
+                   "for data-parallel (+spatially sharded) training; "
+                   "default: no mesh (single device)")
     p.add_argument("--lr", type=float, default=5e-6)
     p.add_argument("--loss_type", type=str, default="Possloss",
                    choices=["Possloss", "LpLoss"])
@@ -175,6 +179,15 @@ def main():
         v1 = t1
         train_end = v0
 
+    mesh = None
+    if args.mesh:
+        from vaevar_tpu.parallel.mesh import mesh_from_arg
+
+        mesh = mesh_from_arg(args.mesh)
+        logger.info(f"mesh: {dict(zip(mesh.axis_names, mesh.devices.shape))} "
+                    f"over {jax.device_count()} devices "
+                    f"({jax.process_count()} processes)")
+
     n_targets = 2 if args.two_step else 1
     writer = ScalarWriter(args.out_dir)
 
@@ -207,6 +220,7 @@ def main():
         data_std=channels.STD,
         logger=logger.info,
         log_every=args.log_every,
+        mesh=mesh,
     )
     for s, l in enumerate(history):
         writer.add_scalar("loss", l, s)

@@ -105,21 +105,11 @@ def main():
 
     mesh = None
     if args.mesh:
-        from vaevar_tpu.parallel import mesh as pmesh
+        from vaevar_tpu.parallel.mesh import mesh_from_arg
 
-        dims = [int(v) for v in args.mesh.split("x")]
-        if len(dims) == 1:
-            axes = {"dp": dims[0]}
-        elif len(dims) == 3:
-            axes = {"dp": dims[0], "sh": dims[1], "sw": dims[2]}
-        else:
-            raise SystemExit(f"--mesh must be 'DP' or 'DPxSHxSW', got "
-                             f"{args.mesh!r}")
-        total = 1
-        for d in dims:
-            total *= d
-        mesh = pmesh.make_mesh(axes, jax.devices()[:total])
-        logger.info(f"mesh: {axes} over {jax.device_count()} devices "
+        mesh = mesh_from_arg(args.mesh)
+        logger.info(f"mesh: {dict(zip(mesh.axis_names, mesh.devices.shape))} "
+                    f"over {jax.device_count()} devices "
                     f"({jax.process_count()} processes)")
 
     # streaming per-epoch loader: reshuffles each epoch, shards the sample

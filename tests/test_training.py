@@ -316,3 +316,32 @@ class TestTrainCLIDataParallel:
         single = self._run_cli(str(tmp_path / "single"), None)
         dp = self._run_cli(str(tmp_path / "dp"), "4")
         assert abs(dp - single) / abs(single) < 1e-3, (dp, single)
+
+    def _run_forecast_cli(self, out_dir, mesh_arg):
+        import sys
+        from unittest import mock
+
+        import run_train_forecast
+
+        argv = [
+            "run_train_forecast.py", "--task", "train", "--micro",
+            "--grid", "32x64", "--batch_size", "4", "--epochs", "1",
+            "--steps", "3", "--start_time", "2022-01-01 00:00:00",
+            "--end_time", "2022-01-08 00:00:00", "--seed", "11",
+            "--out_dir", out_dir, "--log_every", "1",
+        ]
+        if mesh_arg:
+            argv += ["--mesh", mesh_arg]
+        with mock.patch.object(sys, "argv", argv):
+            run_train_forecast.main()
+        import json
+
+        with open(out_dir + "/checkpoint_latest.meta.json") as f:
+            return json.load(f)["metric_best"]
+
+    def test_forecast_cli_dp_matches_single_device(self, tmp_path):
+        """Forecast CLI on a dp=4 mesh reproduces the single-device val
+        loss (gradient all-reduce inserted by XLA, reference 32-GPU DDP)."""
+        single = self._run_forecast_cli(str(tmp_path / "fsingle"), None)
+        dp = self._run_forecast_cli(str(tmp_path / "fdp"), "4")
+        assert abs(dp - single) / abs(single) < 1e-3, (dp, single)

@@ -73,6 +73,21 @@ def make_mesh(axes: Mapping[str, int] | None = None, devices=None) -> Mesh:
     return Mesh(arr, names)
 
 
+def mesh_from_arg(arg: str) -> Mesh:
+    """CLI `--mesh` parser shared by the training CLIs: 'DP' (e.g. '8')
+    for pure data parallelism or 'DPxSHxSW' (e.g. '2x2x2') to add spatial
+    sharding; uses the first prod(dims) visible devices."""
+    dims = [int(v) for v in arg.split("x")]
+    if len(dims) == 1:
+        axes = {"dp": dims[0]}
+    elif len(dims) == 3:
+        axes = {"dp": dims[0], "sh": dims[1], "sw": dims[2]}
+    else:
+        raise ValueError(f"--mesh must be 'DP' or 'DPxSHxSW', got {arg!r}")
+    total = int(np.prod(dims))
+    return make_mesh(axes, jax.devices()[:total])
+
+
 def batch_spec(mesh: Mesh) -> P:
     return P("dp") if "dp" in mesh.axis_names else P()
 

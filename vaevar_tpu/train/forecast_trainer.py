@@ -175,6 +175,7 @@ def train_forecast(
     data_std=None,
     logger=print,
     log_every: int = 10,
+    mesh=None,
 ):
     """Epoch-loop trainer with validation-driven best-checkpoint selection
     and full mid-run resume — the reference's basemodel.trainer
@@ -183,7 +184,12 @@ def train_forecast(
     Checkpoints carry {model+logvar bounds, optimizer state, epoch,
     metric_best}; checkpoint_best is refreshed whenever the epoch's mean
     validation `save_best_param` improves (reference whether_save_best,
-    save_best default "MSE" → here default "loss")."""
+    save_best default "MSE" → here default "loss").
+
+    With `mesh`, batches shard over the "dp" axis (+ "sh"/"sw" spatial
+    axes when present) and trainable/opt state replicate — XLA inserts
+    the gradient all-reduce (the reference's 32-GPU DDP,
+    training_options.yaml:7)."""
     total = (steps_per_epoch or 1000) * epochs
     init_fn, train_step = make_forecast_train_step(
         model_apply, loss_type=loss_type, lr=lr, total_steps=total,
@@ -205,6 +211,22 @@ def train_forecast(
             logger(f"resumed at epoch {start_epoch} "
                    f"(metric_best={metric_best})")
 
+    if mesh is not None:
+        from jax.sharding import PartitionSpec as P
+
+        from vaevar_tpu.parallel import mesh as pmesh
+
+        ax = mesh.axis_names
+        bspec = P("dp" if "dp" in ax else None, None,
+                  "sh" if "sh" in ax else None,
+                  "sw" if "sw" in ax else None)  # (B, C, H, W)
+        trainable = pmesh.replicate(trainable, mesh)
+        opt_state = pmesh.replicate(opt_state, mesh)
+        put = lambda b: pmesh.global_batch(np.ascontiguousarray(b), mesh,
+                                           bspec)
+    else:
+        put = jnp.asarray
+
     step_j = jax.jit(train_step, donate_argnums=(0, 1))
     history = []
     for epoch in range(start_epoch, epochs):
@@ -212,8 +234,8 @@ def train_forecast(
             if steps_per_epoch is not None and j >= steps_per_epoch:
                 break
             trainable, opt_state, loss = step_j(
-                trainable, opt_state, jnp.asarray(inp),
-                [jnp.asarray(t) for t in tars],
+                trainable, opt_state, put(np.asarray(inp)),
+                [put(np.asarray(t)) for t in tars],
             )
             if (j + 1) % log_every == 0:
                 logger(f"epoch {epoch} iter {j} loss {float(loss):.4f}")
