@@ -175,20 +175,31 @@ def bench_sc4dvar_3dvar():
 
 def bench_vae4dvar_4dvar_win6():
     """vae4dvar da_win=6: 5 hourly flow-model steps inside the cost with
-    remat'd reverse AD (da_4dvar.py:1190-1194); full windowed obs term."""
+    remat'd reverse AD (da_4dvar.py:1190-1194), on the exact REDUCED
+    window quadratic (cost.ReducedWindowObs — the production cycler path
+    for synthetic obs, cycler.py:152): the rollout runs natively at
+    128x256 and the L-BFGS program holds no full-resolution arrays (the
+    full-grid form needs 12-18 GB of HBM temp — over one v5e chip)."""
     from vaevar_tpu.da import cost as cost_mod
     from vaevar_tpu.da.solver import VariationalSolver
 
     cfg, decoder, flow, integrate, params, full_bundle = _setup(da_win=6)
     z0 = jnp.zeros(cfg.latent_shape, jnp.float32)
-    c, to_state, parts = cost_mod.make_vae4dvar_cost(
-        decoder.apply, flow_apply=flow.apply, flow_hw=(128, 256), da_win=6,
+    reduce = jax.jit(lambda b: cost_mod.reduce_obs_window(b, (128, 256)))
+    c, to_state, parts = cost_mod.make_vae4dvar_cost_window_reduced(
+        decoder.apply, flow_apply=flow.apply, da_win=6,
     )
+    # production dispatch granularity for windows (cycler.py:152): one
+    # quasi-Newton iteration per program — a fused Nit*iters window solve
+    # runs for minutes in one XLA program and trips the TPU-worker
+    # watchdog (docs/PERF.md)
     solver = VariationalSolver(c, to_state, parts,
                                lbfgs_iters=cfg.lbfgs_iters,
-                               history=cfg.lbfgs_history)
+                               history=cfg.lbfgs_history,
+                               segment_dispatch=True, iters_per_dispatch=1)
 
-    def one_cycle(bundle):
+    def one_cycle(full):
+        bundle = reduce(full)
         _, xa, _ = solver.solve(z0, bundle, params, nit=cfg.nit, gt=None,
                                 verbose=False)
         return integrate(params["flow"], xa)

@@ -74,6 +74,9 @@ def arg_parser():
                    help="micro model configs (smoke runs / CPU mesh tests); "
                         "latent becomes 8 channels")
     p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--no_prefetch", action="store_true",
+                   help="disable the obs-prefetch worker thread (serial "
+                   "obs read -> solve loop, the reference's structure)")
     return p.parse_args()
 
 
@@ -265,6 +268,7 @@ def main():
         mesh=mesh,
         work_dir=os.path.join(args.work_dir, name),
         seed=args.seed,
+        prefetch_obs=not args.no_prefetch,
     )
     da.run_assimilation(args.start_time, args.end_time)
     print("DA complete")

@@ -52,7 +52,10 @@ def sync(x):
 
 # warmup all phases
 bundle = reduce(full_bundle); sync(bundle.a)
-zz = solver.segment(z0, bundle, params); sync(zz)
+st0 = solver.seg_init(z0)
+zz, st1 = solver.segment(z0, st0, bundle, params); sync(zz)
+fused = solver.fused_solve(cfg.nit)
+zf, xaf = fused(z0, bundle, params); sync(xaf)
 xa = solver.to_state(zz, bundle, params); sync(xa)
 xn = integrate(params["flow"], xa); sync(xn)
 
@@ -63,14 +66,17 @@ def t(f, n=5):
     return (time.time() - t0) / n
 
 print("reduce      :", t(lambda: reduce(full_bundle).a))
-print("segment(10) :", t(lambda: solver.segment(z0, bundle, params), n=3))
+print("segment(10) :", t(lambda: solver.segment(z0, st0, bundle, params)[0], n=3))
+print(f"fused({cfg.nit}x10) :", t(lambda: fused(z0, bundle, params)[1], n=3))
 print("to_state    :", t(lambda: solver.to_state(zz, bundle, params)))
 print("integrate   :", t(lambda: integrate(params["flow"], xa)))
 
-# cost+grad single eval timing
-vg = jax.jit(jax.value_and_grad(lambda q: solver and c(q, bundle, params)))
-v, g = vg(z0); sync(g)
-print("cost+grad   :", t(lambda: vg(z0)[1]))
+# cost+grad single eval timing (bundle/params as traced args — closing
+# over them bakes ~300MB of constants into the program and overflows the
+# axon remote-compile request)
+vg = jax.jit(jax.value_and_grad(c))
+v, g = vg(z0, bundle, params); sync(g)
+print("cost+grad   :", t(lambda: vg(z0, bundle, params)[1]))
 # decoder fwd only
 dec_fwd = jax.jit(lambda p, z: decoder.apply(p, z))
 o = dec_fwd(dec_params, z0); sync(o)

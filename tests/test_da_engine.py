@@ -166,9 +166,9 @@ class TestCycler:
     def _mk(self, tmp_path, mode, **kw):
         model, params, dec_apply = tiny_vae()
         src = SyntheticEra5(hw=HW, seed=5)
+        kw.setdefault("da_win", 1)
         cfg = cfgs.DAConfig(
             da_mode=mode,
-            da_win=1,
             nit=1,
             lbfgs_iters=4,
             obs_type="free_0001",
@@ -213,6 +213,58 @@ class TestCycler:
         da = self._mk(tmp_path, "interpolation")
         da.run_assimilation("2022-01-01 00:00", "2022-01-01 06:00")
         assert len(da.metrics_list["ana_wrmse"]) == 1
+
+    @pytest.mark.slow
+    def test_window_cycle_reduced_matches_full(self, tmp_path, monkeypatch):
+        """A da_win=2 vae4dvar cycle through the cycler: the reduced
+        window path (production default for synthetic obs) reproduces the
+        full windowed cost's analysis."""
+        from vaevar_tpu.models.lgunet import LGUnet
+
+        flow = LGUnet(cfgs.micro_config(img_size=HW))
+        fparams = flow.init(jax.random.PRNGKey(7), jnp.zeros((1, 69, *HW)))
+
+        def mk(workdir):
+            da = self._mk(tmp_path / workdir, "vae4dvar", da_win=2)
+            da.flow_apply = flow.apply
+            da.flow_params = fparams
+            da._params["flow"] = fparams
+            da._reduce_obs = None
+            da._solver = da._build_solver()
+            return da
+
+        da_r = mk("red")
+        assert da_r._reduce_obs is not None  # window-reduced engaged
+        da_r.run_assimilation("2022-01-01 00:00", "2022-01-01 06:00")
+
+        monkeypatch.setattr(CycledDA, "_reducible",
+                            property(lambda self: False))
+        da_f = mk("full")
+        assert da_f._reduce_obs is None
+        da_f.run_assimilation("2022-01-01 00:00", "2022-01-01 06:00")
+
+        np.testing.assert_allclose(
+            np.asarray(da_r.metrics_list["ana_wrmse"]),
+            np.asarray(da_f.metrics_list["ana_wrmse"]),
+            rtol=1e-4,
+        )
+
+    @pytest.mark.slow
+    def test_prefetch_matches_serial(self, tmp_path):
+        """Threaded obs prefetch (overlapping IO with the solve) must
+        reproduce the serial loop bit-for-bit: same synthetic-mask RNG
+        draw order, same metrics over 3 cycles."""
+        da_s = self._mk(tmp_path / "serial", "vae4dvar")
+        da_s.prefetch_obs = False
+        da_s.run_assimilation("2022-01-01 00:00", "2022-01-01 18:00")
+        da_p = self._mk(tmp_path / "prefetch", "vae4dvar")
+        assert da_p.prefetch_obs
+        da_p.run_assimilation("2022-01-01 00:00", "2022-01-01 18:00")
+        for k in ("bg_wrmse", "ana_wrmse"):
+            np.testing.assert_array_equal(
+                np.asarray(da_s.metrics_list[k]),
+                np.asarray(da_p.metrics_list[k]),
+            )
 
 
 class TestData:
@@ -323,6 +375,93 @@ class TestReducedObsCost:
         rel = np.abs(gr - gf) / (np.abs(gf) + 1e-3)
         # f32 summation-order noise; measured median 1e-7, max 1.5e-3
         assert np.median(rel) < 1e-5 and rel.max() < 5e-3
+
+
+@pytest.mark.slow
+class TestReducedWindowCost:
+    """cost.make_vae4dvar_cost_window_reduced == full windowed cost for
+    da_win>1: the nearest down/up resizes of the in-cost rollout cancel
+    exactly, so the per-slot reduction is exact algebra (ReducedWindowObs)."""
+
+    def _setup(self, da_win=3):
+        from vaevar_tpu.models.lgunet import LGUnet
+
+        low, full = (16, 32), (47, 93)  # non-integer ratio on purpose
+        dec_cfg = cfgs.micro_config(img_size=low, inchans_list=(2, 6),
+                                    outchans_list=(13, 56))
+        dec = LGUnet(dec_cfg)
+        z = 0.1 * jnp.ones((1, 8, *low), jnp.float32)
+        flow = LGUnet(cfgs.micro_config(img_size=low))
+        params = {
+            "decoder": dec.init(jax.random.PRNGKey(0), z),
+            "flow": flow.init(jax.random.PRNGKey(1),
+                              jnp.zeros((1, 69, *low))),
+        }
+        rr = np.random.default_rng(0)
+        m = channels.MEAN.reshape(-1, 1, 1)
+        s = channels.STD.reshape(-1, 1, 1)
+        xb = jnp.asarray(m + s * rr.normal(size=(69, *full)), jnp.float32)
+        yo = jnp.asarray(m[None] + s[None] * rr.normal(
+            size=(da_win, 69, *full)), jnp.float32)
+        Hm = jnp.asarray(
+            (rr.random((da_win, 69, *full)) < 0.3).astype(np.float32))
+        R = jnp.asarray(
+            (0.5 + rr.random((da_win, 69, *full))).astype(np.float32))
+        bundle = ObsBundle(xb=xb, yo=yo, H=Hm, R=R)
+        return dec.apply, flow.apply, bundle, params, z, low
+
+    def test_window_reduced_equals_full(self):
+        da_win = 3
+        dec_apply, flow_apply, bundle, params, z, low = self._setup(da_win)
+        cf, tsf, pf = cost_mod.make_vae4dvar_cost(
+            dec_apply, flow_apply, flow_hw=low, da_win=da_win,
+            obs_coeff=1.3)
+        cr, tsr, pr = cost_mod.make_vae4dvar_cost_window_reduced(
+            dec_apply, flow_apply, da_win=da_win, obs_coeff=1.3)
+        red = cost_mod.reduce_obs_window(bundle, low)
+
+        jf = float(cf(z, bundle, params))
+        jr = float(cr(z, red, params))
+        assert abs(jf - jr) / abs(jf) < 1e-5, (jf, jr)
+        np.testing.assert_allclose(
+            np.asarray(tsf(z, bundle, params)),
+            np.asarray(tsr(z, red, params)), atol=1e-5,
+        )
+        jb_f, jo_f = pf(z, bundle, params)
+        jb_r, jo_r = pr(z, red, params)
+        np.testing.assert_allclose(float(jo_r), float(jo_f), rtol=1e-5)
+        np.testing.assert_allclose(float(jb_r), float(jb_f), rtol=1e-6)
+        gf = np.asarray(jax.grad(lambda q: cf(q, bundle, params))(z))
+        gr = np.asarray(jax.grad(lambda q: cr(q, red, params))(z))
+        rel = np.abs(gr - gf) / (np.abs(gf) + 1e-3)
+        # elementwise agreement is f32-noise-bound on near-zero entries
+        # (the cell-mean ybar rounds at 1e-7 relative, amplified where the
+        # innovation is tiny); the norm-relative error is the meaningful
+        # bound for the optimizer trajectory
+        nrel = np.linalg.norm(gr - gf) / np.linalg.norm(gf)
+        assert np.median(rel) < 1e-5 and nrel < 5e-4, (np.median(rel), nrel)
+
+    def test_sc4dvar_window_reduced_equals_full(self):
+        da_win = 2
+        _dec, flow_apply, bundle, params, _z, low = self._setup(da_win)
+        b = BMatrixAssets.synthetic()
+        cvt = CVTransform(b, solver_hw=low, out_hw=bundle.xb.shape[-2:],
+                          hpad=28)
+        w = jnp.asarray(
+            0.1 * np.random.default_rng(3).normal(size=(69, *low)),
+            jnp.float32)
+        cf, tsf, pf = cost_mod.make_sc4dvar_cost(
+            cvt, flow_apply, flow_hw=low, da_win=da_win, obs_coeff=0.7)
+        cr, tsr, pr = cost_mod.make_sc4dvar_cost_window_reduced(
+            cvt.increment, flow_apply, da_win=da_win, obs_coeff=0.7)
+        red = cost_mod.reduce_obs_window(bundle, low)
+        jf = float(cf(w, bundle, params))
+        jr = float(cr(w, red, params))
+        assert abs(jf - jr) / abs(jf) < 1e-5, (jf, jr)
+        np.testing.assert_allclose(
+            np.asarray(tsf(w, bundle, params)),
+            np.asarray(tsr(w, red, params)), atol=1e-5,
+        )
 
 
 @pytest.mark.slow

@@ -39,7 +39,9 @@ class ObsBundle(NamedTuple):
     xb: jnp.ndarray  # (69, H, W)
     yo: jnp.ndarray  # (T, C_obs, H, W)
     H: jnp.ndarray  # (T, C_obs, H, W)
-    R: jnp.ndarray  # (T, C_obs, H, W)
+    R: jnp.ndarray  # broadcastable against yo: (T, C_obs, 1, 1) from
+    # obs.build_R (R never varies spatially in any supported q_type), or
+    # full (T, C_obs, H, W)
 
 
 class ReducedObs(NamedTuple):
@@ -85,6 +87,204 @@ def reduce_obs(bundle: ObsBundle, low_hw) -> ReducedObs:
     return ReducedObs(xb=bundle.xb, a=a, b=b, c=c)
 
 
+class ReducedWindowObs(NamedTuple):
+    """Window (da_win > 1) obs term pre-reduced onto the solver grid.
+
+    Valid when the flow rollout runs with nearest resize to/from the
+    solver grid (dynamics.make_integrate interpolation semantics,
+    da_4dvar.py:671-679) and obs channels are unaugmented: the slot-t
+    full-resolution prediction is EXACTLY up(m_t) with m_t on the coarse
+    grid (and xb + up(e) for slot 0), where the coarse states obey
+    m_1 = M(down(xb) + S e), m_{t+1} = M(S m_t) with S = down∘up — a
+    STATIC coarse->coarse resampling gather under the torch floor-index
+    nearest convention (S = identity only at integer grid ratios).
+    Every slot's 1/2 sum H (pred - yo)^2 / R therefore collapses to a
+    per-coarse-cell quadratic in the coarse prediction:
+
+        slot 0:   p_0 = e (the low-res increment), target yo_0 - xb
+        slot t>0: p_t = x_t_low (physical coarse state), target yo_t
+
+    stored in the CELL-CENTERED form (ybar = weighted cell-mean target,
+    sum_cell w (tgt - ybar) = 0 exactly, so the cross term vanishes):
+
+        Jo_t = 1/2 [ sum a_t (p_t - ybar_t)^2 + c_t ]
+        a_t = sum_cell w_t,  ybar_t = sum_cell (w_t tgt_t) / a_t,
+        c_t = sum w_t (tgt_t - ybar_t)^2,   w_t = H_t / R_t.
+
+    The centered form matters numerically: the naive expansion
+    sum a p^2 - 2 b p + c cancels ~4 f32 digits when p is a raw physical
+    state (z500 ~ 5e4), whereas p - ybar is innovation-sized.
+
+    The L-BFGS segment program then holds NO full-resolution arrays at
+    all (the lax-scan/full-grid form needed 12-18 GB of HBM at da_win=6
+    / 0.25deg — over a v5e chip), and each cost/grad evaluation does its
+    obs work at (h, w) instead of (H, W)."""
+
+    xb: jnp.ndarray  # (69, H, W) full-res background (used by to_state)
+    xb_low: jnp.ndarray  # (69, h, w) nearest-sampled background
+    a: jnp.ndarray  # (T, C, h, w)
+    ybar: jnp.ndarray  # (T, C, h, w) weighted cell-mean target
+    c: jnp.ndarray  # (T,)
+
+
+def reduce_obs_window(bundle: ObsBundle, low_hw) -> ReducedWindowObs:
+    """Exact per-slot reduction of (yo, H, R) onto the solver grid (see
+    ReducedWindowObs). One-time per-cycle cost: two thin einsums over the
+    (T, C, H, W) obs arrays — MXU work outside the optimization loop."""
+    from vaevar_tpu.ops.interp import _nearest_idx
+
+    Hf, Wf = bundle.xb.shape[-2:]
+    hl, wl = low_hw
+    Mh = jnp.asarray(np.eye(hl, dtype=np.float32)[_nearest_idx(Hf, hl)])
+    Mw = jnp.asarray(np.eye(wl, dtype=np.float32)[_nearest_idx(Wf, wl)])
+
+    w = bundle.H / bundle.R  # (T, C, Hf, Wf); R broadcasts
+    tgt = jnp.concatenate(
+        [bundle.yo[:1] - bundle.xb[None], bundle.yo[1:]], axis=0
+    )
+
+    def down(t):
+        return jnp.einsum(
+            "schw,hi,wj->scij", t, Mh, Mw, preferred_element_type=jnp.float32
+        )
+
+    a = down(w)
+    ybar = jnp.where(a > 0, down(w * tgt) / jnp.where(a > 0, a, 1.0), 0.0)
+    dev = tgt - resize_nearest(ybar, (Hf, Wf))
+    return ReducedWindowObs(
+        xb=bundle.xb,
+        xb_low=resize_nearest(bundle.xb, low_hw),
+        a=a,
+        ybar=ybar,
+        c=jnp.sum(w * dev * dev, axis=(1, 2, 3)),
+    )
+
+
+def _resample_gather(n_full: int, n_low: int) -> np.ndarray:
+    """Index table of S = down∘up on one axis (see ReducedWindowObs)."""
+    from vaevar_tpu.ops.interp import _nearest_idx
+
+    down = _nearest_idx(n_low, n_full)  # coarse j -> fine row
+    up = _nearest_idx(n_full, n_low)  # fine f -> coarse cell
+    return up[down]
+
+
+def _make_window_obs_reduced(increment: Callable, flow_apply: Callable,
+                             da_win: int):
+    """Jo over the window from a ReducedWindowObs: the hourly rollout runs
+    NATIVELY on the solver grid — the full path's per-step up/down
+    resizes collapse to the static gather S (see ReducedWindowObs) —
+    with one jax.checkpoint per step."""
+    if da_win > 1 and flow_apply is None:
+        raise ValueError(
+            "reduced window cost requires a flow model for da_win > 1 "
+            "(the persistence fallback scores xb + up(e) against every "
+            "slot, which only reduces in innovation form — use the full "
+            "windowed cost)"
+        )
+
+    def quad(a_t, ybar_t, c_t, p):
+        d = p - ybar_t
+        return 0.5 * (jnp.sum(a_t * d * d) + c_t)
+
+    def window_obs(x, bundle: ReducedWindowObs, params):
+        e = increment(x, params)  # (69, h, w) physical increment
+        jo = quad(bundle.a[0], bundle.ybar[0], bundle.c[0], e)
+        if da_win == 1:
+            return jo
+        Hf, Wf = bundle.xb.shape[-2:]
+        hl, wl = e.shape[-2:]
+        gh = _resample_gather(Hf, hl)
+        gw = _resample_gather(Wf, wl)
+        if np.array_equal(gh, np.arange(hl)) and np.array_equal(
+            gw, np.arange(wl)
+        ):
+            S = lambda v: v
+        else:
+            S = lambda v: v[..., gh, :][..., gw]
+        integrate = make_integrate(flow_apply)
+        flow_params = params["flow"]
+        step = jax.checkpoint(lambda s: integrate(flow_params, s, 1))
+        nxt = bundle.xb_low + S(e)  # down(xb + up(e)), exactly
+        for t in range(1, da_win):
+            m = step(nxt)
+            jo = jo + quad(bundle.a[t], bundle.ybar[t], bundle.c[t], m)
+            nxt = S(m)
+        return jo
+
+    return window_obs
+
+
+def make_vae4dvar_cost_window_reduced(
+    decoder_apply: Callable,
+    flow_apply: Callable | None = None,
+    da_win: int = 1,
+    obs_coeff: float = 1.0,
+    err_std=None,
+):
+    """4D-Var vae4dvar cost on the REDUCED window quadratic (see
+    ReducedWindowObs): identical J to make_vae4dvar_cost up to float
+    associativity; no full-resolution tensors inside the L-BFGS program."""
+    err = jnp.asarray(
+        channels.ERR_STD if err_std is None else err_std, jnp.float32
+    ).reshape(-1, 1, 1)
+    mstd = jnp.asarray(channels.STD, jnp.float32).reshape(-1, 1, 1)
+
+    def increment(z, params):
+        return decoder_apply(params["decoder"], z)[0].astype(
+            jnp.float32
+        ) * err * mstd
+
+    window_obs = _make_window_obs_reduced(increment, flow_apply, da_win)
+
+    def to_state(z, bundle: ReducedWindowObs, params):
+        e = increment(z, params)
+        return bundle.xb + resize_nearest(e, bundle.xb.shape[-2:])
+
+    def cost(z, bundle: ReducedWindowObs, params):
+        return 0.5 * jnp.sum(z**2) + obs_coeff * window_obs(z, bundle,
+                                                            params)
+
+    def cost_parts(z, bundle: ReducedWindowObs, params):
+        # Jo unscaled, matching make_vae4dvar_cost (da_4dvar.py:1269).
+        return 0.5 * jnp.sum(z**2), window_obs(z, bundle, params)
+
+    return cost, to_state, cost_parts
+
+
+def make_sc4dvar_cost_window_reduced(
+    increment: Callable,
+    flow_apply: Callable | None = None,
+    da_win: int = 1,
+    obs_coeff: float = 1.0,
+):
+    """4D-Var sc4dvar cost on the REDUCED window quadratic: the CVT
+    increment is nearest-upsampled (da_4dvar.py:928), so the same per-slot
+    reduction as vae4dvar applies. `increment(w)` = B^1/2 w on the solver
+    grid (CVTransform.increment)."""
+
+    def inc(w, params):
+        del params
+        return increment(w)
+
+    window_obs = _make_window_obs_reduced(inc, flow_apply, da_win)
+
+    def to_state(w, bundle: ReducedWindowObs, params):
+        del params
+        return bundle.xb + resize_nearest(
+            increment(w), bundle.xb.shape[-2:]
+        )
+
+    def cost(w, bundle: ReducedWindowObs, params):
+        return 0.5 * jnp.sum(w**2) + obs_coeff * window_obs(w, bundle,
+                                                            params)
+
+    def cost_parts(w, bundle: ReducedWindowObs, params):
+        return 0.5 * jnp.sum(w**2), window_obs(w, bundle, params)
+
+    return cost, to_state, cost_parts
+
+
 def obs_term(x_pred, bundle: ObsBundle, interp_matrix=None):
     """1/2 sum H (x_pred - yo)^2 / R with optional level augmentation."""
     if interp_matrix is not None:
@@ -127,26 +327,27 @@ def _make_window_obs(flow_apply, flow_hw, da_win, interp_matrix):
             # no flow model: persistence — x0 scored against EVERY slot
             # (the materialized obs_term's broadcast semantics)
             return obs_term(x0[None], bundle, interp_matrix)
-        jo0 = jo_slot(x0, bundle.yo[0], bundle.H[0], bundle.R[0])
+        jo = jo_slot(x0, bundle.yo[0], bundle.H[0], bundle.R[0])
         if da_win == 1:
-            return jo0
+            return jo
         integrate = make_integrate(flow_apply, flow_hw)
         flow_params = params["flow"]
 
-        def step(carry, t):
-            x, acc = carry
+        def step(x, yo_t, h_t, r_t):
             x = integrate(flow_params, x, 1, interpolation=True)
-            acc = acc + jo_slot(
-                x,
-                jnp.take(bundle.yo, t, axis=0),
-                jnp.take(bundle.H, t, axis=0),
-                jnp.take(bundle.R, t, axis=0),
-            )
-            return (x, acc), None
+            return x, jo_slot(x, yo_t, h_t, r_t)
 
-        (_, jo), _ = jax.lax.scan(
-            jax.checkpoint(step), (x0, jo0), jnp.arange(1, da_win)
-        )
+        # unrolled with STATIC slot slices, one jax.checkpoint per step:
+        # same bounded live set as a scanned body, but no dynamic-slice of
+        # the stacked (T, C, H, W) obs arrays — a lax.scan + jnp.take form
+        # forced XLA to hold yo/H twice (argument layout + while-body
+        # layout), ~7 GB of pure layout copies at da_win=6/0.25deg that
+        # pushed the window program past v5e HBM
+        step = jax.checkpoint(step)
+        x = x0
+        for t in range(1, da_win):
+            x, jo_t = step(x, bundle.yo[t], bundle.H[t], bundle.R[t])
+            jo = jo + jo_t
         return jo
 
     return window_obs

@@ -71,6 +71,10 @@ class CycledDA:
     mask_eval: Optional[np.ndarray] = None  # obs-space holdout (C_obs, H, W)
     mesh: object = None  # jax.sharding.Mesh for spatially-sharded solves
     verbose: bool = True
+    prefetch_obs: bool = True  # overlap next cycle's host-side obs/truth
+    # IO + gridding + QC with the current device solve (one worker thread;
+    # submissions stay in time order so synthetic-mask RNG draws are
+    # identical to the serial loop)
 
     metrics_list: dict = field(default_factory=lambda: {k: [] for k in _METRIC_KEYS})
 
@@ -105,6 +109,7 @@ class CycledDA:
                 .random((c_obs, *hw)) < 0.2
             ).astype(np.float32)
         self._load_metrics()
+        self._reduce_obs = None
         self._solver = self._build_solver()
         self._params = {"decoder": self.vae_params, "flow": self.flow_params}
         # jitted 6h advance; params traced so checkpoint swaps don't recompile
@@ -113,18 +118,28 @@ class CycledDA:
         )
 
     @property
-    def _use_reduced_obs(self):
-        # 3D-Var + per-channel obs + nearest upsample: the obs quadratic
-        # reduces exactly onto the solver grid (cost.ReducedObs). Applies to
-        # both vae4dvar (decoder_hr nearest, nf_model/vae.py:90) and sc4dvar
-        # (CVT nearest upsample, da_4dvar.py:928).
-        if self.cfg.da_win != 1 or self._interp is not None:
+    def _reducible(self):
+        # per-channel obs + nearest upsample: the obs quadratic reduces
+        # exactly onto the solver grid (cost.ReducedObs for da_win=1,
+        # cost.ReducedWindowObs for windows — the full path's per-step
+        # nearest resizes collapse to a static coarse gather). Applies to
+        # both vae4dvar (decoder_hr nearest, nf_model/vae.py:90) and
+        # sc4dvar (CVT nearest upsample, da_4dvar.py:928); real obs
+        # (level-augmented innovations + QC masks) keep the full windowed
+        # form, as does the flow-less persistence fallback.
+        if self._interp is not None:
+            return False
+        if self.cfg.da_win > 1 and self.flow_apply is None:
             return False
         if self.cfg.da_mode == "vae4dvar":
             return True
         return self.cfg.da_mode == "sc4dvar" and hasattr(
             self.cvt, "increment"
         )
+
+    @property
+    def _use_reduced_obs(self):
+        return self._reducible and self.cfg.da_win == 1
 
     def _build_solver(self):
         cfg = self.cfg
@@ -136,6 +151,16 @@ class CycledDA:
                 )
                 self._reduce_obs = jax.jit(
                     lambda b: cost_mod.reduce_obs(b, cfg.solver_hw)
+                )
+            elif self._reducible:  # da_win > 1, synthetic obs
+                c, to_state, parts = (
+                    cost_mod.make_vae4dvar_cost_window_reduced(
+                        self.decoder_apply, self.flow_apply,
+                        da_win=cfg.da_win, obs_coeff=cfg.obs_coeff,
+                    )
+                )
+                self._reduce_obs = jax.jit(
+                    lambda b: cost_mod.reduce_obs_window(b, cfg.solver_hw)
                 )
             else:
                 c, to_state, parts = cost_mod.make_vae4dvar_cost(
@@ -159,6 +184,16 @@ class CycledDA:
                 )
                 self._reduce_obs = jax.jit(
                     lambda b: cost_mod.reduce_obs(b, cfg.solver_hw)
+                )
+            elif self._reducible:  # da_win > 1, synthetic obs
+                c, to_state, parts = (
+                    cost_mod.make_sc4dvar_cost_window_reduced(
+                        self.cvt.increment, self.flow_apply,
+                        da_win=cfg.da_win, obs_coeff=cfg.obs_coeff,
+                    )
+                )
+                self._reduce_obs = jax.jit(
+                    lambda b: cost_mod.reduce_obs_window(b, cfg.solver_hw)
                 )
             else:
                 c, to_state, parts = cost_mod.make_sc4dvar_cost(
@@ -317,7 +352,7 @@ class CycledDA:
             )
         elif mode == "vae4dvar":
             bundle = ObsBundle(xb=xb, yo=yo, H=H, R=R)
-            if self._use_reduced_obs:
+            if self._reduce_obs is not None:
                 bundle = self._reduce_obs(bundle)
             z0 = jnp.zeros(cfg.latent_shape, jnp.float32)
             _, xa, diag = self._solver.solve(
@@ -326,7 +361,7 @@ class CycledDA:
             )
         elif mode == "sc4dvar":
             bundle = ObsBundle(xb=xb, yo=yo, H=H, R=R)
-            if self._use_reduced_obs:
+            if self._reduce_obs is not None:
                 bundle = self._reduce_obs(bundle)
             w0 = jnp.zeros((channels.N_CHANNELS, *cfg.solver_hw), jnp.float32)
             _, xa, diag = self._solver.solve(
@@ -352,24 +387,50 @@ class CycledDA:
     # --- main loop --------------------------------------------------------
 
     def run_assimilation(self, start_time, end_time):
+        """The outer 6h cycle loop (da_4dvar.py:1314-1342). The reference
+        runs obs read -> solve -> advance strictly serially; here the next
+        cycle's obs/truth preparation (disk reads of da_win 69-ch frames,
+        station gridding, QC — all host-side) runs on a worker thread
+        UNDER the current cycle's device solve, so the device never waits
+        on host IO between cycles (prefetch_obs=False restores the serial
+        loop)."""
+        from concurrent.futures import ThreadPoolExecutor
+
         start_time = pd.Timestamp(start_time)
         end_time = pd.Timestamp(end_time)
         current_time, xb = self.get_current_states(start_time)
         epoch = 0
-        while current_time + CYCLE <= end_time:
-            if self.verbose:
-                print(f"cycle @ {current_time}", flush=True)
-            t0 = time.time()
-            yo, H, R, gt = self.get_obs_info(current_time)
-            xa = self.one_step_da(gt, xb, yo, H, R)
-            self.save_eval_result()
-            xb = self._advance(self.forecast_params, xa)
-            current_time = current_time + CYCLE
-            if epoch % self.cfg.save_interval == 0:
-                self.save_ckpt(current_time, xb)
-            epoch += 1
-            if self.verbose:
-                print(f"  cycle took {time.time() - t0:.2f}s", flush=True)
+        pool = ThreadPoolExecutor(max_workers=1) if self.prefetch_obs \
+            else None
+        fut = (pool.submit(self.get_obs_info, current_time)
+               if pool and current_time + CYCLE <= end_time else None)
+        try:
+            while current_time + CYCLE <= end_time:
+                if self.verbose:
+                    print(f"cycle @ {current_time}", flush=True)
+                t0 = time.time()
+                yo, H, R, gt = (
+                    fut.result() if fut is not None
+                    else self.get_obs_info(current_time)
+                )
+                nxt = current_time + CYCLE
+                if pool and nxt + CYCLE <= end_time:
+                    fut = pool.submit(self.get_obs_info, nxt)
+                else:
+                    fut = None
+                xa = self.one_step_da(gt, xb, yo, H, R)
+                self.save_eval_result()
+                xb = self._advance(self.forecast_params, xa)
+                current_time = nxt
+                if epoch % self.cfg.save_interval == 0:
+                    self.save_ckpt(current_time, xb)
+                epoch += 1
+                if self.verbose:
+                    print(f"  cycle took {time.time() - t0:.2f}s",
+                          flush=True)
+        finally:
+            if pool is not None:
+                pool.shutdown(wait=False, cancel_futures=True)
         self.save_ckpt(current_time, xb)
         self.save_eval_result()
         return xb

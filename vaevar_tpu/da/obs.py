@@ -62,22 +62,41 @@ def obs_error_variance(obs_std: float, modify_tp: int = 0) -> np.ndarray:
 
 def build_R(obs_var: np.ndarray, q_matrix: np.ndarray | None, da_win: int,
             hw: tuple[int, int]) -> np.ndarray:
-    """(da_win, 69, H, W): R[0]=obs_var; R[t>=1] += Q[t-1] (da_4dvar.py:630-635)."""
-    H, W = hw
+    """R[0]=obs_var; R[t>=1] += Q[t-1] (da_4dvar.py:630-635).
+
+    Returned BROADCASTABLE, (da_win, 69, 1, 1), not materialized at
+    (da_win, 69, H, W): every consumer divides by R elementwise, and a
+    full-grid R costs 1.8 GB of HBM per layout inside the win6 window
+    program (measured: the full-R form pushed the window cost past v5e
+    HBM). A per-pixel q_matrix (spatial dims > 1) still broadcasts R out
+    to the q grid."""
+    del hw  # grid size only matters for per-pixel q, taken from q itself
     R = np.broadcast_to(
-        obs_var.reshape(1, -1, 1, 1), (da_win, channels.N_CHANNELS, H, W)
+        obs_var.reshape(1, -1, 1, 1),
+        (da_win, channels.N_CHANNELS, 1, 1),
     ).copy()
     if da_win > 1 and q_matrix is not None:
-        R[1:] += q_matrix[: da_win - 1]
+        q = np.asarray(q_matrix)[: da_win - 1]
+        if q.shape[-2:] != (1, 1):
+            R = np.broadcast_to(
+                R, (da_win, channels.N_CHANNELS, *q.shape[-2:])
+            ).copy()
+        R[1:] += q
     return R.astype(np.float32)
 
 
 def load_q_matrix(coeff_dir: str, q_type: int, da_win: int,
                   hw: tuple[int, int]) -> np.ndarray | None:
-    """Per-lead-time model-error variance (da_4dvar.py:528-550)."""
+    """Per-lead-time model-error variance (da_4dvar.py:528-550).
+
+    Returned broadcastable (da_win-1, 69, 1, 1): both q_types reduce to
+    per-channel values (q_type=0 takes the spatial mean of the q%d.npy
+    fields, da_4dvar.py:537-541), so the grid dimensions stay size-1 and
+    build_R/the cost broadcast — see build_R on why this matters for HBM.
+    """
+    del hw
     if da_win == 1 or q_type == -1:
         return None
-    H, W = hw
     if q_type == 1:
         path = os.path.join(coeff_dir, "new_q.npy")
         if os.path.exists(path):
@@ -88,14 +107,12 @@ def load_q_matrix(coeff_dir: str, q_type: int, da_win: int,
             lead = np.arange(1, da_win, dtype=np.float32).reshape(-1, 1)
             q = (0.02 * lead) * channels.ERR_STD.reshape(1, -1) ** 2 * \
                 channels.STD.reshape(1, -1) ** 2
-        return np.broadcast_to(
-            q.astype(np.float32)[:, :, None, None], (da_win - 1, 69, H, W)
-        )
+        return q.astype(np.float32)[:, :, None, None]
     if q_type == 0:
         qs = []
         for i in range(1, da_win):
             q0 = np.load(os.path.join(coeff_dir, f"q{i}.npy"))
-            qs.append(np.broadcast_to(q0.mean((1, 2), keepdims=True), (69, H, W)))
+            qs.append(q0.mean((1, 2), keepdims=True))
         return np.stack(qs).astype(np.float32)
     raise NotImplementedError(f"q_type {q_type}")
 
