@@ -1,0 +1,99 @@
+"""win6 reduced-window segment: remat-variant probe (memory + time).
+
+With the exact reduced window quadratic the segment program no longer
+holds full-resolution arrays, so the remat stack (flow/decoder block
+remat + one jax.checkpoint per rollout step) may be pure recompute
+overhead. Compiles each variant, prints program HBM, and times one
+segment dispatch. Usage: python prof_win6_variants.py [variant...]
+variants: base (block remat on, step ckpt on), noblock, nostep, none
+"""
+import sys
+import time
+
+sys.path.insert(0, ".")
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from vaevar_tpu.utils import compile_cache
+
+compile_cache.enable()
+
+from vaevar_tpu import channels
+from vaevar_tpu.config import DAConfig, FLOW_140, VAE_DECODER
+from vaevar_tpu.da import cost as cost_mod, obs as obs_mod
+from vaevar_tpu.da.cost import ObsBundle
+from vaevar_tpu.da.solver import VariationalSolver
+from vaevar_tpu.models.lgunet import LGUnet
+from vaevar_tpu.utils.fast_init import fast_init
+
+DA_WIN = 6
+cfg = DAConfig()
+HW = cfg.grid_hw
+dtype = jnp.bfloat16
+z0 = jnp.zeros(cfg.latent_shape, jnp.float32)
+
+rr = np.random.default_rng(0)
+base = channels.MEAN.reshape(-1, 1, 1) + channels.STD.reshape(
+    -1, 1, 1) * rr.normal(size=(69, *HW)).astype(np.float32)
+xb = jnp.asarray(base, jnp.float32)
+gt = jnp.broadcast_to(jnp.asarray(
+    base + 0.3 * channels.STD.reshape(-1, 1, 1)
+    * rr.normal(size=(69, *HW)), jnp.float32)[None], (DA_WIN, 69, *HW))
+Hm = jnp.asarray(obs_mod.make_obs_mask(cfg.obs_type, DA_WIN, HW, rr))
+R = jnp.asarray(obs_mod.build_R(
+    obs_mod.obs_error_variance(cfg.obs_std, cfg.modify_tp), None, DA_WIN, HW
+))
+full_bundle = ObsBundle(xb=xb, yo=gt, H=Hm, R=R)
+
+
+def sync(x):
+    return float(jnp.sum(jnp.asarray(x).reshape(-1)[::9973]))
+
+
+def run(name, block_remat, step_ckpt):
+    decoder = LGUnet(VAE_DECODER.replace(dtype=dtype, remat=block_remat))
+    flow = LGUnet(FLOW_140.replace(dtype=dtype, remat=block_remat))
+    params = {
+        "decoder": jax.device_put(fast_init(decoder, z0, seed=0)),
+        "flow": jax.device_put(
+            fast_init(flow, jnp.zeros((1, 69, 128, 256)), seed=1)),
+    }
+    c, to_state, parts = cost_mod.make_vae4dvar_cost_window_reduced(
+        decoder.apply, flow_apply=flow.apply, da_win=DA_WIN,
+        step_checkpoint=step_ckpt,
+    )
+    solver = VariationalSolver(c, to_state, parts,
+                               lbfgs_iters=cfg.lbfgs_iters,
+                               history=cfg.lbfgs_history,
+                               segment_dispatch=True, iters_per_dispatch=1)
+    red = jax.jit(lambda b: cost_mod.reduce_obs_window(b, (128, 256)))(
+        full_bundle)
+    st = solver.seg_init(z0)
+    lowered = jax.jit(solver._segment_raw).lower(z0, st, red, params)
+    compiled = lowered.compile()
+    mem = compiled.memory_analysis()
+    txt = str(mem)
+    line = [l for l in txt.splitlines() if "Program hbm requirement" in l]
+    print(f"{name}: {line[0].strip() if line else '?'}", flush=True)
+    # time 10 dispatched iterations (one outer segment's worth)
+    x, s = z0, st
+    x, s = solver.segment(x, s, red, params)
+    sync(x)
+    t0 = time.time()
+    x, s2 = z0, st
+    for _ in range(10):
+        x, s2 = solver.segment(x, s2, red, params)
+    sync(x)
+    print(f"{name}: 10 iters {time.time() - t0:.2f}s", flush=True)
+
+
+VARIANTS = {
+    "base": (True, True),
+    "noblock": (False, True),
+    "nostep": (True, False),
+    "none": (False, False),
+}
+for v in (sys.argv[1:] or list(VARIANTS)):
+    run(v, *VARIANTS[v])

@@ -118,9 +118,17 @@ class TestShardedSolve:
     def test_obs_term_sharded_equals_replicated(self):
         cost, to_state, parts, bundle, params, z0 = setup()
         mesh = pmesh.make_mesh({"sh": 2, "sw": 4})
+        # broadcastable fields (per-channel R, (T, C, 1, 1)) replicate —
+        # size-1 spatial dims can't split over sh/sw (solver._shard_inputs
+        # applies the same rule)
+        from jax.sharding import PartitionSpec as P
+
+        def spec(f):
+            full = jnp.ndim(f) >= 2 and f.shape[-1] > 1 and f.shape[-2] > 1
+            return pmesh.state_spec(mesh, jnp.ndim(f)) if full else P()
+
         sharded_bundle = ObsBundle(
-            *(pmesh.shard(f, mesh, pmesh.state_spec(mesh, jnp.ndim(f)))
-              for f in bundle)
+            *(pmesh.shard(f, mesh, spec(f)) for f in bundle)
         )
         a = float(cost_mod.obs_term(bundle.yo * 0.9, bundle))
         b = float(cost_mod.obs_term(sharded_bundle.yo * 0.9, sharded_bundle))

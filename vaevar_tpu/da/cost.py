@@ -170,7 +170,7 @@ def _resample_gather(n_full: int, n_low: int) -> np.ndarray:
 
 
 def _make_window_obs_reduced(increment: Callable, flow_apply: Callable,
-                             da_win: int):
+                             da_win: int, step_checkpoint: bool = True):
     """Jo over the window from a ReducedWindowObs: the hourly rollout runs
     NATIVELY on the solver grid — the full path's per-step up/down
     resizes collapse to the static gather S (see ReducedWindowObs) —
@@ -204,7 +204,9 @@ def _make_window_obs_reduced(increment: Callable, flow_apply: Callable,
             S = lambda v: v[..., gh, :][..., gw]
         integrate = make_integrate(flow_apply)
         flow_params = params["flow"]
-        step = jax.checkpoint(lambda s: integrate(flow_params, s, 1))
+        step = lambda s: integrate(flow_params, s, 1)
+        if step_checkpoint:
+            step = jax.checkpoint(step)
         nxt = bundle.xb_low + S(e)  # down(xb + up(e)), exactly
         for t in range(1, da_win):
             m = step(nxt)
@@ -221,6 +223,7 @@ def make_vae4dvar_cost_window_reduced(
     da_win: int = 1,
     obs_coeff: float = 1.0,
     err_std=None,
+    step_checkpoint: bool = True,
 ):
     """4D-Var vae4dvar cost on the REDUCED window quadratic (see
     ReducedWindowObs): identical J to make_vae4dvar_cost up to float
@@ -235,7 +238,8 @@ def make_vae4dvar_cost_window_reduced(
             jnp.float32
         ) * err * mstd
 
-    window_obs = _make_window_obs_reduced(increment, flow_apply, da_win)
+    window_obs = _make_window_obs_reduced(increment, flow_apply, da_win,
+                                          step_checkpoint)
 
     def to_state(z, bundle: ReducedWindowObs, params):
         e = increment(z, params)
@@ -257,6 +261,7 @@ def make_sc4dvar_cost_window_reduced(
     flow_apply: Callable | None = None,
     da_win: int = 1,
     obs_coeff: float = 1.0,
+    step_checkpoint: bool = True,
 ):
     """4D-Var sc4dvar cost on the REDUCED window quadratic: the CVT
     increment is nearest-upsampled (da_4dvar.py:928), so the same per-slot
@@ -267,7 +272,8 @@ def make_sc4dvar_cost_window_reduced(
         del params
         return increment(w)
 
-    window_obs = _make_window_obs_reduced(inc, flow_apply, da_win)
+    window_obs = _make_window_obs_reduced(inc, flow_apply, da_win,
+                                          step_checkpoint)
 
     def to_state(w, bundle: ReducedWindowObs, params):
         del params
