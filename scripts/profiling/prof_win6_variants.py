@@ -74,11 +74,17 @@ def run(name, block_remat, step_ckpt):
     lowered = jax.jit(solver._segment_raw).lower(z0, st, red, params)
     compiled = lowered.compile()
     mem = compiled.memory_analysis()
-    txt = str(mem)
-    line = [l for l in txt.splitlines() if "Program hbm requirement" in l]
-    print(f"{name}: {line[0].strip() if line else '?'}", flush=True)
-    # time 10 dispatched iterations (one outer segment's worth)
-    x, s = z0, st
+    try:
+        print(f"{name}: program hbm "
+              f"{(mem.temp_size_in_bytes + mem.output_size_in_bytes) / 2**30:.2f} GiB "
+              f"(temp {mem.temp_size_in_bytes / 2**30:.2f})", flush=True)
+    except AttributeError:
+        print(f"{name}: mem {mem}", flush=True)
+    # time 10 dispatched iterations (one outer segment's worth). Two
+    # warmup calls out of caution (a seg_init/carried-state signature
+    # mismatch once caused a second compile here; lbfgs_init_state now
+    # strengthens its leaf dtypes so both calls share one program).
+    x, s = solver.segment(z0, st, red, params)
     x, s = solver.segment(x, s, red, params)
     sync(x)
     t0 = time.time()

@@ -44,8 +44,19 @@ def _make_opt(history: int, max_linesearch_steps: int):
 
 
 def lbfgs_init_state(x0, history: int = 10, max_linesearch_steps: int = 25):
-    """Fresh optimizer state for `lbfgs_minimize(..., init_state=...)`."""
-    return _make_opt(history, max_linesearch_steps).init(x0)
+    """Fresh optimizer state for `lbfgs_minimize(..., init_state=...)`.
+
+    Leaf dtypes are strengthened (convert_element_type drops weak_type):
+    optax's zoom-linesearch init leaves three weak-typed scalars that
+    become strong after one update, so without this every segment-
+    dispatched solve would compile its program TWICE (one signature for
+    the fresh state, one for the carried state)."""
+    state = _make_opt(history, max_linesearch_steps).init(x0)
+    import jax.lax as lax
+
+    return jax.tree.map(
+        lambda l: lax.convert_element_type(l, jnp.asarray(l).dtype), state
+    )
 
 
 def lbfgs_minimize(
