@@ -115,6 +115,49 @@ class TestShardedSolve:
                                                   1e-12)
         assert rel < 1e-3, rel
 
+    @pytest.mark.slow
+    def test_sharded_window_reduced_matches_unsharded(self):
+        """Mesh-sharded 4D-Var solve on the REDUCED window quadratic
+        (da_win=2 + --mesh): ReducedWindowObs carries (T,) c and coarse
+        per-slot fields — _shard_inputs must shard the >=2-d grids over
+        sh/sw and replicate the rest."""
+        _c, _t, _p, bundle, params, z0 = setup()
+        dec_cfg = cfgs.micro_config(
+            img_size=HW, inchans_list=(2, 6), outchans_list=(13, 56)
+        )
+        decoder = LGUnet(dec_cfg)
+        flow = LGUnet(cfgs.micro_config(img_size=HW))
+        params = dict(params)
+        params["flow"] = flow.init(jax.random.PRNGKey(5),
+                                   jnp.zeros((1, 69, *HW)))
+        rr = np.random.default_rng(9)
+        yo2 = jnp.concatenate(
+            [bundle.yo,
+             bundle.yo + 0.1 * jnp.asarray(
+                 rr.normal(size=bundle.yo.shape), jnp.float32)], axis=0)
+        Hm2 = jnp.asarray(obs_mod.make_obs_mask("free_0005", 2, HW, rr))
+        R2 = jnp.asarray(
+            obs_mod.build_R(obs_mod.obs_error_variance(0.1), None, 2, HW))
+        bundle2 = ObsBundle(xb=bundle.xb, yo=yo2, H=Hm2, R=R2)
+
+        cost, to_state, parts = cost_mod.make_vae4dvar_cost_window_reduced(
+            decoder.apply, flow.apply, da_win=2)
+        red = cost_mod.reduce_obs_window(bundle2, HW)
+
+        plain = VariationalSolver(cost, to_state, parts, lbfgs_iters=4)
+        xa_ref = np.asarray(
+            plain.solve(z0, red, params, nit=1, verbose=False)[1])
+        mesh = pmesh.make_mesh({"sh": 2, "sw": 4})
+        sharded = VariationalSolver(cost, to_state, parts, lbfgs_iters=4,
+                                    mesh=mesh)
+        z, xa, _ = sharded.solve(z0, red, params, nit=1, verbose=False)
+        assert not z.sharding.is_fully_replicated
+        inc_ref = xa_ref - np.asarray(bundle.xb)
+        inc = np.asarray(xa) - np.asarray(bundle.xb)
+        rel = np.linalg.norm(inc - inc_ref) / max(np.linalg.norm(inc_ref),
+                                                  1e-12)
+        assert rel < 1e-3, rel
+
     def test_obs_term_sharded_equals_replicated(self):
         cost, to_state, parts, bundle, params, z0 = setup()
         mesh = pmesh.make_mesh({"sh": 2, "sw": 4})
