@@ -80,7 +80,8 @@ class TestRealObsCycle:
         yo, H, R, gt = da.get_obs_info(__import__("pandas").Timestamp("2022-01-01"))
         assert yo.shape == (1, 204, *HW)
         assert H.shape == (1, 204, *HW)
-        assert R.shape == (1, 204, *HW)
+        # R is broadcastable per-channel (obs.build_R keeps grid dims at 1)
+        assert R.shape == (1, 204, 1, 1)
         assert float(jnp.sum(H)) > 0
         da.run_assimilation("2022-01-01 00:00", "2022-01-01 06:00")
         assert len(da.metrics_list["ana_wrmse"]) == 1
