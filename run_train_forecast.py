@@ -69,6 +69,10 @@ def main():
 
     compile_cache.enable()
 
+    from vaevar_tpu.parallel.mesh import init_distributed
+
+    init_distributed()  # multihost no-op unless SLURM/coordinator env set
+
     from vaevar_tpu import channels
     from vaevar_tpu import config as cfgs
     from vaevar_tpu.config import FLOW_140
@@ -189,17 +193,36 @@ def main():
                     f"({jax.process_count()} processes)")
 
     n_targets = 2 if args.two_step else 1
-    writer = ScalarWriter(args.out_dir)
+    writer = ScalarWriter(args.out_dir) if jax.process_index() == 0 else None
+
+    def rank_strided(it):
+        """Each process takes a disjoint stride of the time-ordered batch
+        stream (DistributedSampler analogue for the sequential forecast
+        loader): its local batch becomes that rank's dp slice of the
+        global batch, so a multi-process run sees world_size x the data.
+        The ragged tail (fewer than world_size batches) is dropped on
+        EVERY rank — unequal step counts would hang the collective."""
+        rank, world = jax.process_index(), jax.process_count()
+        if world == 1:
+            yield from it
+            return
+        group = []
+        for b in it:
+            group.append(b)
+            if len(group) == world:
+                yield group[rank]
+                group = []
 
     def train_factory(epoch):
         del epoch  # time-ordered stream; the reference's forecast loader
         # is sequential over the archive too
-        return pair_iter(args.batch_size, 6, n_targets=n_targets,
-                         t0=t0, t1=train_end)
+        return rank_strided(pair_iter(args.batch_size, 6,
+                                      n_targets=n_targets,
+                                      t0=t0, t1=train_end))
 
     def val_factory():
-        return pair_iter(args.batch_size, 6, n_targets=n_targets,
-                         t0=v0, t1=v1)
+        return rank_strided(pair_iter(args.batch_size, 6,
+                                      n_targets=n_targets, t0=v0, t1=v1))
 
     recorder = MetricsRecorder(["MSE", "WRMSE"])
 
@@ -221,15 +244,16 @@ def main():
         logger=logger.info,
         log_every=args.log_every,
         mesh=mesh,
+        writer=writer,
     )
-    for s, l in enumerate(history):
-        writer.add_scalar("loss", l, s)
-    # bare-params alias for downstream consumers (DA engine loads params
-    # only, like the reference's state_dict-only VAE ckpts)
-    ckpt.save(os.path.join(args.out_dir, "params_latest"),
-              trainable["model"])
-    logger.info(f"saved train state to {args.out_dir}/checkpoint_latest "
-                f"(+best) and bare params to params_latest")
+    del history  # scalars already streamed at the true global step
+    if jax.process_index() == 0:
+        # bare-params alias for downstream consumers (DA engine loads
+        # params only, like the reference's state_dict-only VAE ckpts)
+        ckpt.save(os.path.join(args.out_dir, "params_latest"),
+                  trainable["model"])
+        logger.info(f"saved train state to {args.out_dir}/checkpoint_latest "
+                    f"(+best) and bare params to params_latest")
 
 
 if __name__ == "__main__":

@@ -205,6 +205,18 @@ class TestDistributedSampler:
         assert set(allidx.tolist()) == set(range(n))
         assert len(allidx) == -(-n // world) * world
 
+    def test_tiny_dataset_pads_cyclically(self):
+        """world_size > 2n: the wrap-around pad must repeat the
+        permutation (np.resize), not a single too-short slice — unequal
+        per-rank shards would desync the collective."""
+        from vaevar_tpu.data.nmc import epoch_indices
+
+        n, world = 2, 8
+        parts = [epoch_indices(n, seed=1, epoch=0, rank=r, world_size=world)
+                 for r in range(world)]
+        assert all(len(p) == 1 for p in parts)
+        assert set(np.concatenate(parts).tolist()) == set(range(n))
+
     def test_epoch_reshuffles(self):
         from vaevar_tpu.data.nmc import epoch_indices
 

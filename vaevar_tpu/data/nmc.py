@@ -67,7 +67,11 @@ def epoch_indices(
     if world_size > 1:
         total = -(-n // world_size) * world_size
         if total > n:
-            idx = np.concatenate([idx, idx[: total - n]])
+            # cyclic repeat (np.resize), not a single slice: with
+            # world_size > 2n a one-slice pad is too short and leaves
+            # ranks with unequal (even empty) shards, which desyncs the
+            # collective — DistributedSampler repeats the permutation
+            idx = np.resize(idx, total)
         idx = idx[rank::world_size]
     return idx
 

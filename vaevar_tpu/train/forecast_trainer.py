@@ -135,21 +135,36 @@ def make_eval_step(model_apply, loss_type: str = "Possloss",
 
 
 def evaluate(eval_step, trainable, val_iter: Iterable, recorder=None,
-             data_std=None) -> dict:
+             data_std=None, put=None) -> dict:
     """Run the validation loop; returns mean scalars over batches —
     the reference's basemodel.test (model/model.py:414-431). `recorder`
     is a utils.metrics.MetricsRecorder; metrics are evaluated on the
-    normalized fields with data_std scaling to physical units."""
+    normalized fields with data_std scaling to physical units.
+
+    `put` places batches on device (defaults to jnp.asarray). In
+    multi-process runs it must be the same global-batch placement as
+    training — jit rejects host-local arrays mixed with multihost-global
+    params, and the recorder pull then all-gathers pred/target so every
+    rank computes identical metrics."""
+    put = put or jnp.asarray
     sums, n = {}, 0
     for inp, tars in val_iter:
-        inp_j = jnp.asarray(inp)
-        tars_j = [jnp.asarray(t) for t in tars]
+        inp_j = put(np.asarray(inp))
+        tars_j = [put(np.asarray(t)) for t in tars]
         loss, pred = eval_step(trainable, inp_j, tars_j)
         scalars = {"loss": float(loss)}
         if recorder is not None:
+            if getattr(pred, "is_fully_addressable", True):
+                pred_np, gt_np = np.asarray(pred), np.asarray(tars_j[0])
+            else:
+                from jax.experimental import multihost_utils as mhu
+
+                pred_np = np.asarray(mhu.process_allgather(pred,
+                                                           tiled=True))
+                gt_np = np.asarray(mhu.process_allgather(tars_j[0],
+                                                         tiled=True))
             scalars.update(recorder.evaluate_batch({
-                "pred": np.asarray(pred), "gt": np.asarray(tars[0]),
-                "std": data_std,
+                "pred": pred_np, "gt": gt_np, "std": data_std,
             }))
         for k, v in scalars.items():
             sums[k] = sums.get(k, 0.0) + v
@@ -176,6 +191,7 @@ def train_forecast(
     logger=print,
     log_every: int = 10,
     mesh=None,
+    writer=None,
 ):
     """Epoch-loop trainer with validation-driven best-checkpoint selection
     and full mid-run resume — the reference's basemodel.trainer
@@ -184,7 +200,10 @@ def train_forecast(
     Checkpoints carry {model+logvar bounds, optimizer state, epoch,
     metric_best}; checkpoint_best is refreshed whenever the epoch's mean
     validation `save_best_param` improves (reference whether_save_best,
-    save_best default "MSE" → here default "loss").
+    save_best default "MSE" → here default "loss"). `writer` (a
+    meters.ScalarWriter) logs per-step train loss and per-epoch val
+    scalars at the TRUE global step — resumed runs continue the scalar
+    stream instead of overwriting steps 0..N.
 
     With `mesh`, batches shard over the "dp" axis (+ "sh"/"sw" spatial
     axes when present) and trainable/opt state replicate — XLA inserts
@@ -229,6 +248,7 @@ def train_forecast(
 
     step_j = jax.jit(train_step, donate_argnums=(0, 1))
     history = []
+    gstep = start_epoch * (steps_per_epoch or 0)
     for epoch in range(start_epoch, epochs):
         for j, (inp, tars) in enumerate(train_factory(epoch)):
             if steps_per_epoch is not None and j >= steps_per_epoch:
@@ -240,10 +260,16 @@ def train_forecast(
             if (j + 1) % log_every == 0:
                 logger(f"epoch {epoch} iter {j} loss {float(loss):.4f}")
             history.append(float(loss))
+            if writer is not None and jax.process_index() == 0:
+                writer.add_scalar("loss", float(loss), gstep)
+            gstep += 1
         val = {}
         if val_factory is not None:
             val = evaluate(eval_step, trainable, val_factory(), recorder,
-                           data_std)
+                           data_std, put=put)
+            if writer is not None and jax.process_index() == 0:
+                writer.add_scalars({f"val_{k}": v for k, v in val.items()
+                                    if not k[-1].isdigit()}, epoch)
             shown = {k: v for k, v in val.items() if not k[-1].isdigit()}
             shown.update({  # the reference's channels of record
                 k: val[k] for k in ("WRMSE11", "WRMSE66", "WRMSE2")

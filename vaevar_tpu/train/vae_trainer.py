@@ -56,12 +56,16 @@ def make_vae_train_step(
     """Returns (init_fn, train_step). train_step is jittable/shardable."""
     opt = optax.adam(lr)
 
-    def init_fn(rng, sample_frames, fengwu_params):
-        err = nmc_error_sample(
-            sample_frames, fengwu_apply, fengwu_params, latent_hw, nmc_steps,
-            err_std,
-        )
-        params = vae.init(rng, err, jax.random.PRNGKey(0))
+    def init_fn(rng, sample_frames, fengwu_params, params=None):
+        """With `params`, skips the data-dependent shape init and returns
+        a fresh optimizer state for them (warm starts) — keeping the
+        opt_state structure owned by this module's optimizer."""
+        if params is None:
+            err = nmc_error_sample(
+                sample_frames, fengwu_apply, fengwu_params, latent_hw,
+                nmc_steps, err_std,
+            )
+            params = vae.init(rng, err, jax.random.PRNGKey(0))
         return params, opt.init(params)
 
     def loss_fn(params, err, rng):
@@ -127,13 +131,14 @@ def train_vae(
 
     factory = data_iter if callable(data_iter) else (lambda _e: data_iter)
 
-    first = next(iter(factory(0)))
     if init_params is not None:
-        # warm start from given params (e.g. --vae_ckpt): fresh optimizer,
-        # same state structure as make_vae_train_step's internal adam(lr)
-        params = init_params
-        opt_state = optax.adam(lr).init(params)
+        # warm start from given params (e.g. --vae_ckpt): fresh optimizer
+        # state from the train step's own optimizer, no data batch needed
+        params, opt_state = init_fn(None, None, None, params=init_params)
     else:
+        first = next(iter(factory(0)), None)
+        if first is None:
+            raise ValueError("empty training loader: no batch to size init")
         params, opt_state = init_fn(base_rng, jnp.asarray(first),
                                     fengwu_params)
 
