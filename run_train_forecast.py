@@ -213,16 +213,19 @@ def main():
                 yield group[rank]
                 group = []
 
+    from vaevar_tpu.data.prefetch import prefetched
+
     def train_factory(epoch):
         del epoch  # time-ordered stream; the reference's forecast loader
         # is sequential over the archive too
-        return rank_strided(pair_iter(args.batch_size, 6,
-                                      n_targets=n_targets,
-                                      t0=t0, t1=train_end))
+        return prefetched(rank_strided(pair_iter(args.batch_size, 6,
+                                                 n_targets=n_targets,
+                                                 t0=t0, t1=train_end)))
 
     def val_factory():
-        return rank_strided(pair_iter(args.batch_size, 6,
-                                      n_targets=n_targets, t0=v0, t1=v1))
+        return prefetched(rank_strided(pair_iter(args.batch_size, 6,
+                                                 n_targets=n_targets,
+                                                 t0=v0, t1=v1)))
 
     recorder = MetricsRecorder(["MSE", "WRMSE"])
 

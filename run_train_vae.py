@@ -116,9 +116,13 @@ def main():
     # stream across hosts (DistributedSampler analogue)
     rank, world = jax.process_index(), jax.process_count()
 
+    from vaevar_tpu.data.prefetch import prefetched
+
     def loader_factory(epoch: int):
-        return batched_loader(ds, args.batch_size, seed=args.seed,
-                              epoch=epoch, rank=rank, world_size=world)
+        return prefetched(
+            batched_loader(ds, args.batch_size, seed=args.seed,
+                           epoch=epoch, rank=rank, world_size=world)
+        )
 
     init_params = ckpt.restore(args.vae_ckpt) if args.vae_ckpt else None
 

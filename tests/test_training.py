@@ -191,6 +191,44 @@ class TestParallel:
         np.testing.assert_allclose(y_sharded, y_single, atol=2e-4)
 
 
+class TestPrefetched:
+    def test_order_preserving(self):
+        from vaevar_tpu.data.prefetch import prefetched
+
+        assert list(prefetched(range(100), depth=3)) == list(range(100))
+
+    def test_exception_propagates_in_order(self):
+        from vaevar_tpu.data.prefetch import prefetched
+
+        def gen():
+            yield 1
+            yield 2
+            raise RuntimeError("boom")
+
+        it = prefetched(gen(), depth=2)
+        assert next(it) == 1
+        assert next(it) == 2
+        with pytest.raises(RuntimeError, match="boom"):
+            next(it)
+
+    def test_abandoned_consumer_does_not_hang(self):
+        import threading
+
+        from vaevar_tpu.data.prefetch import prefetched
+
+        before = threading.active_count()
+        it = prefetched(iter(range(10_000)), depth=1)
+        next(it)
+        it.close()  # consumer walks away mid-stream
+        import time
+
+        for _ in range(50):
+            if threading.active_count() <= before:
+                break
+            time.sleep(0.1)
+        assert threading.active_count() <= before
+
+
 class TestDistributedSampler:
     def test_rank_shards_disjoint_and_cover(self):
         from vaevar_tpu.data.nmc import epoch_indices
