@@ -191,6 +191,19 @@ class TestParallel:
         np.testing.assert_allclose(y_sharded, y_single, atol=2e-4)
 
 
+class TestMeshFromArg:
+    def test_dp_and_3axis_forms(self):
+        m = pmesh.mesh_from_arg("8")
+        assert dict(zip(m.axis_names, m.devices.shape)) == {"dp": 8}
+        m = pmesh.mesh_from_arg("2x2x2")
+        assert dict(zip(m.axis_names, m.devices.shape)) == {
+            "dp": 2, "sh": 2, "sw": 2}
+
+    def test_rejects_other_shapes(self):
+        with pytest.raises(ValueError, match="DPxSHxSW"):
+            pmesh.mesh_from_arg("2x4")
+
+
 class TestPrefetched:
     def test_order_preserving(self):
         from vaevar_tpu.data.prefetch import prefetched
