@@ -390,3 +390,74 @@ class TestMetricsParity:
         assert set(got) == set(want)
         for k in want:
             np.testing.assert_allclose(got[k], want[k], rtol=1e-4, atol=1e-6)
+
+
+class TestLossParity:
+    """Training-loss goldens: poss_loss/lp_loss vs the reference's
+    basemodel.Possloss/LpLoss (model/model.py:150-207), executing the
+    reference's OWN method source (extracted by ast — importing
+    model.py pulls petrel/timm/tensorboard)."""
+
+    @pytest.fixture(scope="class")
+    def ref_losses(self):
+        import ast
+
+        import torch
+        import torch.nn.functional as F
+
+        src = open(os.path.join(REF, "model/model.py")).read()
+        tree = ast.parse(src)
+        fns = {}
+        for node in ast.walk(tree):
+            if isinstance(node, ast.FunctionDef) and node.name in (
+                "Possloss", "LpLoss",
+            ):
+                seg = ast.get_source_segment(src, node)
+                import textwrap
+
+                fns[node.name] = textwrap.dedent(seg)
+        ns = {"torch": torch, "F": F, "np": np}
+        exec(fns["LpLoss"], ns)
+        exec(fns["Possloss"], ns)
+        return ns["LpLoss"], ns["Possloss"]
+
+    def test_lp_loss_matches(self, ref_losses):
+        import torch
+
+        from vaevar_tpu.train.forecast_trainer import lp_loss
+
+        ref_lp, _ = ref_losses
+        rr = np.random.default_rng(0)
+        pred = rr.normal(size=(3, 7, 8, 16)).astype(np.float32)
+        tar = rr.normal(size=(3, 7, 8, 16)).astype(np.float32)
+        want = float(ref_lp(None, torch.tensor(pred), torch.tensor(tar)))
+        got = float(lp_loss(jnp.asarray(pred), jnp.asarray(tar)))
+        np.testing.assert_allclose(got, want, rtol=1e-6)
+
+    @pytest.mark.parametrize("inc_var_loss", [True, False])
+    def test_poss_loss_matches(self, ref_losses, inc_var_loss):
+        import types
+
+        import torch
+
+        from vaevar_tpu.train.forecast_trainer import poss_loss
+
+        _, ref_poss = ref_losses
+        rr = np.random.default_rng(1)
+        B, C, H, W = 2, 6, 8, 16
+        pred = rr.normal(size=(B, 2 * C, H, W)).astype(np.float32)
+        tar = rr.normal(size=(B, C, H, W)).astype(np.float32)
+        maxlv = (np.ones((1, C * H * W), np.float32) / 2
+                 + 0.1 * rr.normal(size=(1, C * H * W)).astype(np.float32))
+        minlv = (-np.ones((1, C * H * W), np.float32) * 10
+                 + 0.1 * rr.normal(size=(1, C * H * W)).astype(np.float32))
+        self_ = types.SimpleNamespace(
+            max_logvar=torch.tensor(maxlv), min_logvar=torch.tensor(minlv),
+            device="cpu",
+        )
+        want = float(ref_poss(self_, torch.tensor(pred), torch.tensor(tar),
+                              inc_var_loss=inc_var_loss))
+        got = float(poss_loss(jnp.asarray(pred), jnp.asarray(tar),
+                              jnp.asarray(maxlv), jnp.asarray(minlv),
+                              inc_var_loss=inc_var_loss))
+        np.testing.assert_allclose(got, want, rtol=2e-5)
