@@ -461,3 +461,37 @@ class TestLossParity:
                               jnp.asarray(maxlv), jnp.asarray(minlv),
                               inc_var_loss=inc_var_loss))
         np.testing.assert_allclose(got, want, rtol=2e-5)
+
+
+class TestVAELossParity:
+    def test_elbo_matches_reference_loss_function(self):
+        """elbo_loss vs nf_model/vae.py:104-107 loss_function (executed
+        from the reference's own source)."""
+        import ast
+        import textwrap
+
+        import torch
+
+        from vaevar_tpu.models.vae import elbo_loss
+
+        src = open(os.path.join(REF, "nf_model/vae.py")).read()
+        seg = next(
+            ast.get_source_segment(src, n) for n in ast.walk(ast.parse(src))
+            if isinstance(n, ast.FunctionDef) and n.name == "loss_function"
+        )
+        ns = {"torch": torch}
+        exec(textwrap.dedent(seg), ns)
+        rr = np.random.default_rng(2)
+        x = rr.normal(size=(2, 5, 8, 16)).astype(np.float32)
+        rx = rr.normal(size=(2, 5, 8, 16)).astype(np.float32)
+        mu = rr.normal(size=(2, 3, 4, 8)).astype(np.float32)
+        lv = rr.normal(size=(2, 3, 4, 8)).astype(np.float32)
+        wt, wm, wk = ns["loss_function"](
+            torch.tensor(rx), torch.tensor(x), torch.tensor(mu),
+            torch.tensor(lv), sigma=2.0,
+        )
+        gt_, gm, gk = elbo_loss(jnp.asarray(rx), jnp.asarray(x),
+                                jnp.asarray(mu), jnp.asarray(lv), sigma=2.0)
+        np.testing.assert_allclose(float(gt_), float(wt), rtol=1e-5)
+        np.testing.assert_allclose(float(gm), float(wm), rtol=1e-5)
+        np.testing.assert_allclose(float(gk), float(wk), rtol=1e-5)
