@@ -77,6 +77,20 @@ def arg_parser():
     p.add_argument("--no_prefetch", action="store_true",
                    help="disable the obs-prefetch worker thread (serial "
                    "obs read -> solve loop, the reference's structure)")
+    p.add_argument("--save_field", action="store_true",
+                   help="dump xb/xa per cycle to the work dir")
+    p.add_argument("--save_gt", action="store_true",
+                   help="dump truth per cycle to the work dir")
+    p.add_argument("--save_obs", action="store_true",
+                   help="dump observations per cycle to the work dir")
+    p.add_argument("--forecast_eval", action="store_true",
+                   help="per-cycle multi-step forecast WRMSE from the "
+                   "analysis (forecast_wrmse.npy)")
+    p.add_argument("--forecast_eval_steps", type=int, default=20)
+    p.add_argument("--obs_from_numpy", type=str, default=None,
+                   help="directory of pre-gridded obs "
+                   "({year}/{YYYY-MM-DDTHH}-obs.npy/-mask.npy) used "
+                   "instead of station gridding for real obs types")
     return p.parse_args()
 
 
@@ -269,6 +283,12 @@ def main():
         work_dir=os.path.join(args.work_dir, name),
         seed=args.seed,
         prefetch_obs=not args.no_prefetch,
+        save_field=args.save_field,
+        save_gt=args.save_gt,
+        save_obs=args.save_obs,
+        forecast_eval=args.forecast_eval,
+        forecast_eval_steps=args.forecast_eval_steps,
+        obs_from_numpy=args.obs_from_numpy,
     )
     da.run_assimilation(args.start_time, args.end_time)
     print("DA complete")

@@ -167,11 +167,11 @@ class TestCycler:
         model, params, dec_apply = tiny_vae()
         src = SyntheticEra5(hw=HW, seed=5)
         kw.setdefault("da_win", 1)
+        kw.setdefault("obs_type", "free_0001")
         cfg = cfgs.DAConfig(
             da_mode=mode,
             nit=1,
             lbfgs_iters=4,
-            obs_type="free_0001",
             grid_hw=HW,
             solver_hw=HW,
             latent_shape=(1, 32, *HW),
@@ -213,6 +213,56 @@ class TestCycler:
         da = self._mk(tmp_path, "interpolation")
         da.run_assimilation("2022-01-01 00:00", "2022-01-01 06:00")
         assert len(da.metrics_list["ana_wrmse"]) == 1
+
+    def test_save_field_and_forecast_eval(self, tmp_path):
+        """--save_field/--save_gt/--save_obs per-cycle dumps and the
+        per-cycle forecast WRMSE rollout (da_4dvar.py:708-722; the
+        reference reserves forecast_wrmse but stubs evaluate())."""
+        da = self._mk(tmp_path, "free_run")
+        da.save_field = da.save_gt = da.save_obs = True
+        da.forecast_eval = True
+        da.forecast_eval_steps = 3
+        da.metrics_list["forecast_wrmse"] = []
+        da.run_assimilation("2022-01-01 00:00", "2022-01-01 06:00")
+        stamped = [f for f in os.listdir(da.work_dir)
+                   if f.startswith(("xa_", "xb_", "gt_", "obs_"))]
+        assert len(stamped) == 4, stamped
+        fw = np.load(os.path.join(da.work_dir, "forecast_wrmse.npy"),
+                     allow_pickle=True)
+        assert np.asarray(fw[0]).shape == (3, 69)
+
+    def test_obs_from_numpy(self, tmp_path):
+        """Pre-gridded obs files replace station gridding
+        (da_4dvar.py:179-190,302-304) and feed the same QC pipeline."""
+        import pandas as pd
+
+        from vaevar_tpu.da import obs as obs_mod
+
+        root = tmp_path / "npyobs"
+        t = pd.Timestamp("2022-01-01 00:00")
+        d = root / "2022"
+        os.makedirs(d)
+        stem = str(t.to_datetime64())[:13]
+        rr = np.random.default_rng(0)
+        C = 4 + 5 * 40
+        yo = rr.normal(size=(1, C, *HW)).astype(np.float32)
+        Hm = (rr.random((1, C, *HW)) < 0.1).astype(np.float32)
+        np.save(d / f"{stem}-obs.npy", yo)
+        np.save(d / f"{stem}-mask.npy", Hm)
+
+        got_yo, got_H = obs_mod.load_numpy_obs(str(root), t, 1)
+        np.testing.assert_array_equal(got_yo, yo)
+        np.testing.assert_array_equal(got_H, Hm)
+
+        da = self._mk(tmp_path, "free_run", obs_type="real_simu")
+        da.obs_from_numpy = str(root)
+        yo2, H2, R2, gt = da.get_obs_info(t)
+        assert yo2.shape == (1, C, *HW)
+        # QC + real_simu substitution applied downstream of the file load
+        assert float(jnp.sum(H2)) <= float(np.sum(Hm))
+        np.testing.assert_allclose(
+            np.asarray(yo2), np.asarray(yo2) * (np.asarray(H2) > 0)
+        )
 
     @pytest.mark.slow
     def test_window_cycle_reduced_matches_full(self, tmp_path, monkeypatch):

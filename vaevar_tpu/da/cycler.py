@@ -75,6 +75,16 @@ class CycledDA:
     # IO + gridding + QC with the current device solve (one worker thread;
     # submissions stay in time order so synthetic-mask RNG draws are
     # identical to the serial loop)
+    save_field: bool = False  # dump xb/xa per cycle (da_4dvar.py:713-716)
+    save_gt: bool = False  # dump truth per cycle (da_4dvar.py:717-719)
+    save_obs: bool = False  # dump obs per cycle (da_4dvar.py:720-722)
+    forecast_eval: bool = False  # per-cycle multi-step forecast WRMSE from
+    # the analysis — the reference reserves forecast_wrmse and its dump
+    # (da_4dvar.py:512,708-710) but ships evaluate() as a stub (:1311);
+    # here the intended evaluation is implemented
+    forecast_eval_steps: int = 20  # leads of 6 h (20 = 5 days)
+    obs_from_numpy: Optional[str] = None  # pre-gridded obs dir
+    # (obs.load_numpy_obs) instead of station gridding, real obs types only
 
     metrics_list: dict = field(default_factory=lambda: {k: [] for k in _METRIC_KEYS})
 
@@ -108,6 +118,8 @@ class CycledDA:
                 np.random.default_rng(self.seed + 7)
                 .random((c_obs, *hw)) < 0.2
             ).astype(np.float32)
+        if self.forecast_eval:
+            self.metrics_list["forecast_wrmse"] = []
         self._load_metrics()
         self._reduce_obs = None
         self._solver = self._build_solver()
@@ -220,7 +232,11 @@ class CycledDA:
 
     def save_eval_result(self):
         for k, v in self.metrics_list.items():
-            np.save(os.path.join(self.work_dir, k), np.asarray(v))
+            try:
+                arr = np.asarray(v)
+            except ValueError:  # ragged (e.g. truth-limited forecast_eval)
+                arr = np.array(v, dtype=object)
+            np.save(os.path.join(self.work_dir, k), arr)
 
     def save_ckpt(self, current_time, xb):
         np.save(os.path.join(self.work_dir, "xb.npy"), np.asarray(xb))
@@ -271,14 +287,19 @@ class CycledDA:
         gt = np.stack(frames)  # (T, 69, H, W)
 
         if self.is_real_obs:
-            reports = [self.reports_source.get_reports(current_time)]
-            if cfg.da_win > 3:
-                reports.append(
-                    self.reports_source.get_reports(current_time + CYCLE)
+            if self.obs_from_numpy:
+                yo, H = obs_mod.load_numpy_obs(
+                    self.obs_from_numpy, current_time, cfg.da_win
                 )
-            yo, H = obs_mod.grid_real_obs(
-                reports, cfg.da_win, cfg.interp_dim, cfg.grid_hw
-            )
+            else:
+                reports = [self.reports_source.get_reports(current_time)]
+                if cfg.da_win > 3:
+                    reports.append(
+                        self.reports_source.get_reports(current_time + CYCLE)
+                    )
+                yo, H = obs_mod.grid_real_obs(
+                    reports, cfg.da_win, cfg.interp_dim, cfg.grid_hw
+                )
             gt_aug = np.asarray(
                 augment_levels(jnp.asarray(gt), self._interp)
             )
@@ -315,6 +336,45 @@ class CycledDA:
         self.metrics_list[f"{prefix}_bias"].append(bias)
         self.metrics_list[f"{prefix}_mse"].append(float(mse))
         return wrmse
+
+    def _save_intermediate(self, current_time, xb, xa, gt, yo):
+        """Optional per-cycle field dumps (da_4dvar.py:713-722; the
+        reference writes gt/obs under intermediate/ground_truth — here
+        everything lands in work_dir)."""
+        stamp = str(current_time).replace(" ", "_")
+        if self.save_field:
+            np.save(os.path.join(self.work_dir, f"xb_{stamp}"),
+                    np.asarray(xb))
+            np.save(os.path.join(self.work_dir, f"xa_{stamp}"),
+                    np.asarray(xa))
+        if self.save_gt:
+            np.save(os.path.join(self.work_dir, f"gt_{stamp}"),
+                    np.asarray(gt))
+        if self.save_obs:
+            np.save(os.path.join(self.work_dir, f"obs_{stamp}"),
+                    np.asarray(yo))
+
+    def _forecast_eval(self, xa, current_time):
+        """Multi-step forecast WRMSE from the analysis: per-lead (69,)
+        physical-unit WRMSE vs truth, appended per cycle to
+        metrics_list["forecast_wrmse"] (shape grows (cycles, leads, 69)).
+        Stops early where truth is unavailable."""
+        x = xa
+        t = current_time
+        rows = []
+        for _ in range(self.forecast_eval_steps):
+            x = self._advance(self.forecast_params, x)
+            t = t + CYCLE
+            try:
+                gt = self.state_source.get_state(t)
+            except Exception:
+                break
+            wrmse, _, _ = jax.device_get(
+                _score_device(x, jnp.asarray(gt))
+            )
+            rows.append(wrmse)
+        if rows:
+            self.metrics_list["forecast_wrmse"].append(np.stack(rows))
 
     def _obs_holdout_error(self, xa, yo0, H_old0):
         """Obs-space holdout RMSE on eval cells (da_4dvar.py:1285-1287)."""
@@ -419,7 +479,10 @@ class CycledDA:
                 else:
                     fut = None
                 xa = self.one_step_da(gt, xb, yo, H, R)
+                self._save_intermediate(current_time, xb, xa, gt, yo)
                 self.save_eval_result()
+                if self.forecast_eval:
+                    self._forecast_eval(xa, current_time)
                 xb = self._advance(self.forecast_params, xa)
                 current_time = nxt
                 if epoch % self.cfg.save_interval == 0:

@@ -308,6 +308,27 @@ def grid_real_obs(
     return obs / cnt, Hm
 
 
+def load_numpy_obs(root: str, ts, da_win: int) -> tuple[np.ndarray,
+                                                        np.ndarray]:
+    """Pre-gridded observation arrays from disk — the reference's
+    `--obs_from_numpy` path (da_4dvar.py:179-190,302-304), with the S3
+    bucket replaced by a local directory of the same layout:
+    `{root}/{year}/{YYYY-MM-DDTHH}-obs.npy` and `...-mask.npy`, each
+    (da_win, C_obs, H, W). The result feeds the SAME QC/simu pipeline as
+    station gridding."""
+    import pandas as pd
+
+    t = pd.Timestamp(ts)
+    stem = os.path.join(root, str(t.year), str(t.to_datetime64())[:13])
+    yo = np.load(stem + "-obs.npy").astype(np.float32)
+    H = np.load(stem + "-mask.npy").astype(np.float32)
+    if yo.shape[0] < da_win:
+        raise ValueError(
+            f"{stem}-obs.npy has {yo.shape[0]} slots, need da_win={da_win}"
+        )
+    return yo[:da_win], H[:da_win]
+
+
 def qc_filter(yo, gt_aug, Hm, filter_coeff: float, obs_type: str,
               std_layer_aug: np.ndarray) -> np.ndarray:
     """Gross-error check: keep obs with |yo-gt| < c*sigma (da_4dvar.py:778-798)."""
