@@ -21,6 +21,10 @@ B^1/2 control, da_4dvar.py:1064-1177 config) and the vae4dvar da_win=6
 4D-Var cycle (hourly flow-model rollout inside the cost,
 da_4dvar.py:1190-1194), printing one JSON line per metric (primary LAST)
 and writing all of them to bench_full.json for regression tracking.
+Note the budget (hence vs_baseline) is defined for the 3D-Var config of
+record; the win6 window solve does ~25x the model work per cycle
+(4 x 10 L-BFGS iterations x 5 extra flow steps fwd+bwd), so its
+vs_baseline is a regression-tracking number, not a budget-compliance one.
 """
 
 from __future__ import annotations
