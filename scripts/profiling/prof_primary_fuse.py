@@ -64,7 +64,10 @@ def run(name, fuse):
     for _ in range(10):
         x, s2 = solver.segment(x, s2, red, params)
     sync(x)
-    print(f"{name}: 10 iters {time.time() - t0:.2f}s", flush=True)
+    # 10 segment dispatches x lbfgs_iters quasi-Newton iterations each
+    n_qn = 10 * cfg.lbfgs_iters
+    print(f"{name}: {n_qn} L-BFGS iters {time.time() - t0:.2f}s",
+          flush=True)
 
 
 for name, fuse in [("modular", False), ("fused", True)]:

@@ -365,9 +365,14 @@ class CycledDA:
         for _ in range(self.forecast_eval_steps):
             x = self._advance(self.forecast_params, x)
             t = t + CYCLE
+            # end-of-truth stops the ladder; genuine IO/loader failures
+            # propagate (a bare except would silently truncate the row)
+            has = getattr(self.state_source, "has", None)
+            if has is not None and not has(t):
+                break
             try:
                 gt = self.state_source.get_state(t)
-            except Exception:
+            except FileNotFoundError:
                 break
             wrmse, _, _ = jax.device_get(
                 _score_device(x, jnp.asarray(gt))
@@ -474,15 +479,23 @@ class CycledDA:
                     else self.get_obs_info(current_time)
                 )
                 nxt = current_time + CYCLE
-                if pool and nxt + CYCLE <= end_time:
+                submit_next = pool is not None and nxt + CYCLE <= end_time
+                fut = None
+                if submit_next and not self.forecast_eval:
                     fut = pool.submit(self.get_obs_info, nxt)
-                else:
-                    fut = None
                 xa = self.one_step_da(gt, xb, yo, H, R)
                 self._save_intermediate(current_time, xb, xa, gt, yo)
-                self.save_eval_result()
                 if self.forecast_eval:
+                    # before the on-disk snapshot, so a preemption never
+                    # leaves forecast_wrmse one row behind ana_wrmse; and
+                    # BEFORE submitting the next prefetch — its truth
+                    # reads must not run concurrently with the worker's
+                    # (ReferenceLayoutStore.get_state shares one native
+                    # pool and epoch counter, unsynchronized)
                     self._forecast_eval(xa, current_time)
+                    if submit_next:
+                        fut = pool.submit(self.get_obs_info, nxt)
+                self.save_eval_result()
                 xb = self._advance(self.forecast_params, xa)
                 current_time = nxt
                 if epoch % self.cfg.save_interval == 0:

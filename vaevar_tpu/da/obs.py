@@ -322,9 +322,10 @@ def load_numpy_obs(root: str, ts, da_win: int) -> tuple[np.ndarray,
     stem = os.path.join(root, str(t.year), str(t.to_datetime64())[:13])
     yo = np.load(stem + "-obs.npy").astype(np.float32)
     H = np.load(stem + "-mask.npy").astype(np.float32)
-    if yo.shape[0] < da_win:
+    if yo.shape[0] < da_win or H.shape[0] < da_win:
         raise ValueError(
-            f"{stem}-obs.npy has {yo.shape[0]} slots, need da_win={da_win}"
+            f"{stem}: obs has {yo.shape[0]} and mask {H.shape[0]} slots, "
+            f"need da_win={da_win}"
         )
     return yo[:da_win], H[:da_win]
 

@@ -28,20 +28,26 @@ def prefetched(it: Iterable, depth: int = 2) -> Iterator:
     q: queue.Queue = queue.Queue(maxsize=max(1, depth))
     stop = threading.Event()
 
+    def put_or_stop(item) -> bool:
+        """Blocking put that still honors abandonment — a plain q.put of
+        the sentinel/exception would leak the worker (and its queued
+        batches) forever when the consumer walks away with a full queue."""
+        while not stop.is_set():
+            try:
+                q.put(item, timeout=0.1)
+                return True
+            except queue.Full:
+                continue
+        return False
+
     def worker():
         try:
             for item in it:
-                while not stop.is_set():
-                    try:
-                        q.put(item, timeout=0.1)
-                        break
-                    except queue.Full:
-                        continue
-                if stop.is_set():
+                if not put_or_stop(item):
                     return
-            q.put(_SENTINEL)
+            put_or_stop(_SENTINEL)
         except BaseException as e:  # noqa: BLE001 — transparent re-raise
-            q.put(e)
+            put_or_stop(e)
 
     t = threading.Thread(target=worker, daemon=True)
     t.start()
