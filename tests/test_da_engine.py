@@ -491,6 +491,23 @@ class TestReducedWindowCost:
         nrel = np.linalg.norm(gr - gf) / np.linalg.norm(gf)
         assert np.median(rel) < 1e-5 and nrel < 5e-4, (np.median(rel), nrel)
 
+    def test_degenerates_to_3dvar_reducer(self):
+        """At da_win=1 the window reducer and the 3D-Var reducer are the
+        same quadratic (slot-0 innovation form) — J and grads agree."""
+        dec_apply, _flow, bundle, params, z, low = self._setup(da_win=1)
+        c3, _, _ = cost_mod.make_vae4dvar_cost_reduced(dec_apply,
+                                                       obs_coeff=1.3)
+        cw, _, _ = cost_mod.make_vae4dvar_cost_window_reduced(
+            dec_apply, None, da_win=1, obs_coeff=1.3)
+        r3 = cost_mod.reduce_obs(bundle, low)
+        rw = cost_mod.reduce_obs_window(bundle, low)
+        j3, jw = float(c3(z, r3, params)), float(cw(z, rw, params))
+        assert abs(j3 - jw) / abs(j3) < 1e-5, (j3, jw)
+        g3 = np.asarray(jax.grad(lambda q: c3(q, r3, params))(z))
+        gw = np.asarray(jax.grad(lambda q: cw(q, rw, params))(z))
+        nrel = np.linalg.norm(gw - g3) / np.linalg.norm(g3)
+        assert nrel < 5e-4, nrel
+
     def test_sc4dvar_window_reduced_equals_full(self):
         da_win = 2
         _dec, flow_apply, bundle, params, _z, low = self._setup(da_win)
