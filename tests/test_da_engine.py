@@ -491,6 +491,22 @@ class TestReducedWindowCost:
         nrel = np.linalg.norm(gr - gf) / np.linalg.norm(gf)
         assert np.median(rel) < 1e-5 and nrel < 5e-4, (np.median(rel), nrel)
 
+    def test_resample_gather_matches_resize_composition(self):
+        """S = down∘up as an index table equals actually composing the
+        torch-convention nearest resizes (the identity only at integer
+        ratios — 47/16 and 93/32 are not)."""
+        from vaevar_tpu.da.cost import _resample_gather
+        from vaevar_tpu.ops.interp import resize_nearest
+
+        v = jnp.arange(16 * 32, dtype=jnp.float32).reshape(1, 16, 32)
+        dn = resize_nearest(resize_nearest(v, (47, 93)), (16, 32))
+        gh = _resample_gather(47, 16)
+        gw = _resample_gather(93, 32)
+        np.testing.assert_array_equal(
+            np.asarray(dn), np.asarray(v)[:, gh][:, :, gw]
+        )
+        assert not np.array_equal(gh, np.arange(16))  # genuinely non-trivial
+
     def test_degenerates_to_3dvar_reducer(self):
         """At da_win=1 the window reducer and the 3D-Var reducer are the
         same quadratic (slot-0 innovation form) — J and grads agree."""
