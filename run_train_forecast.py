@@ -47,7 +47,9 @@ def arg_parser():
     p.add_argument("--out_dir", type=str, default="output/forecast")
     p.add_argument("--q_lead_hours", type=int, default=6)
     p.add_argument("--seed", type=int, default=0)
-    p.add_argument("--bf16", action="store_true", default=True)
+    p.add_argument("--bf16", action=argparse.BooleanOptionalAction,
+                   default=True,
+                   help="bf16 compute (default on; --no-bf16 for f32)")
     p.add_argument("--log_every", type=int, default=10)
     return p.parse_args()
 

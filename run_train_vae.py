@@ -31,7 +31,9 @@ def arg_parser():
                    "default: no mesh (single device)")
     p.add_argument("--out_dir", type=str, default="output/vae")
     p.add_argument("--seed", type=int, default=0)
-    p.add_argument("--bf16", action="store_true", default=True)
+    p.add_argument("--bf16", action=argparse.BooleanOptionalAction,
+                   default=True,
+                   help="bf16 compute (default on; --no-bf16 for f32)")
     p.add_argument("--micro", action="store_true",
                    help="small model configs for fast CPU smoke runs")
     p.add_argument("--fast_init", action="store_true",

@@ -231,6 +231,36 @@ class TestCycler:
                      allow_pickle=True)
         assert np.asarray(fw[0]).shape == (3, 69)
 
+    def test_metric_log_append_and_replay(self, tmp_path):
+        """Per-cycle metric persistence is O(1) appends to
+        metrics_log.jsonl; the consolidated reference-format .npy dumps
+        happen only at save_interval/run end. A restart BETWEEN
+        consolidations must replay the jsonl tail exactly."""
+        da = self._mk(tmp_path, "free_run")
+        da.metrics_list["bg_wrmse"].append(np.arange(69, dtype=np.float32))
+        da.metrics_list["bg_mse"].append(0.5)
+        da.save_eval_result()  # append-only: no .npy yet
+        assert os.path.exists(os.path.join(da.work_dir,
+                                           "metrics_log.jsonl"))
+        assert not os.path.exists(os.path.join(da.work_dir, "bg_wrmse.npy"))
+        # crash-restart between consolidations: jsonl tail replays
+        da2 = self._mk(tmp_path, "free_run")
+        assert len(da2.metrics_list["bg_wrmse"]) == 1
+        np.testing.assert_allclose(da2.metrics_list["bg_wrmse"][0],
+                                   np.arange(69))
+        assert da2.metrics_list["bg_mse"] == [0.5]
+        # consolidation writes the .npy dumps and truncates the log;
+        # replay after that must not duplicate entries
+        da2.metrics_list["bg_mse"].append(0.25)
+        da2.save_eval_result(consolidate=True)
+        assert os.path.getsize(
+            os.path.join(da.work_dir, "metrics_log.jsonl")) == 0
+        np.testing.assert_allclose(
+            np.load(os.path.join(da.work_dir, "bg_mse.npy")), [0.5, 0.25])
+        da3 = self._mk(tmp_path, "free_run")
+        assert da3.metrics_list["bg_mse"] == [0.5, 0.25]
+        assert len(da3.metrics_list["bg_wrmse"]) == 1
+
     def test_obs_from_numpy(self, tmp_path):
         """Pre-gridded obs files replace station gridding
         (da_4dvar.py:179-190,302-304) and feed the same QC pipeline."""

@@ -14,6 +14,8 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.sharded
+
 from vaevar_tpu import config as cfgs
 from vaevar_tpu.da import cost as cost_mod, obs as obs_mod
 from vaevar_tpu.da.cost import ObsBundle

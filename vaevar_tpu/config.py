@@ -236,3 +236,6 @@ class DAConfig:
     latent_shape: tuple[int, ...] = (1, 32, 128, 256)
     grid_hw: tuple[int, int] = (721, 1440)  # analysis grid
     solver_hw: tuple[int, int] = (128, 256)  # CVT / latent grid
+
+    def replace(self, **kw) -> "DAConfig":
+        return dataclasses.replace(self, **kw)

@@ -229,14 +229,56 @@ class CycledDA:
             p = os.path.join(self.work_dir, f"{k}.npy")
             if os.path.exists(p):
                 self.metrics_list[k] = list(np.load(p, allow_pickle=True))
+        # replay entries newer than the last consolidated snapshot (a
+        # preemption between snapshots loses nothing)
+        log = os.path.join(self.work_dir, "metrics_log.jsonl")
+        if os.path.exists(log):
+            import json
 
-    def save_eval_result(self):
+            with open(log) as f:
+                for line in f:
+                    if not line.strip():
+                        continue
+                    e = json.loads(line)
+                    lst = self.metrics_list.get(e["k"])
+                    if lst is not None and e["i"] == len(lst):
+                        v = e["v"]
+                        lst.append(np.asarray(v) if isinstance(v, list)
+                                   else v)
+        self._flushed = {k: len(v) for k, v in self.metrics_list.items()}
+
+    def save_eval_result(self, consolidate: bool = False):
+        """Persist per-cycle metrics. Per cycle only NEW entries append to
+        metrics_log.jsonl (O(1) host IO); the reference instead rewrites
+        every growing .npy each cycle (da_4dvar.py:704-710) — O(cycles^2)
+        over a year-long run. The consolidated reference-format .npy dumps
+        are written when `consolidate` (save_interval cadence + run end),
+        after which the jsonl is truncated (it is redundant)."""
+        import json
+
+        new = []
+        for k, v in self.metrics_list.items():
+            n0 = self._flushed.get(k, 0)
+            for i in range(n0, len(v)):
+                val = v[i]
+                new.append({"k": k, "i": i,
+                            "v": val.tolist() if hasattr(val, "tolist")
+                            else val})
+            self._flushed[k] = len(v)
+        if new:
+            with open(os.path.join(self.work_dir, "metrics_log.jsonl"),
+                      "a") as f:
+                for e in new:
+                    f.write(json.dumps(e) + "\n")
+        if not consolidate:
+            return
         for k, v in self.metrics_list.items():
             try:
                 arr = np.asarray(v)
             except ValueError:  # ragged (e.g. truth-limited forecast_eval)
                 arr = np.array(v, dtype=object)
             np.save(os.path.join(self.work_dir, k), arr)
+        open(os.path.join(self.work_dir, "metrics_log.jsonl"), "w").close()
 
     def save_ckpt(self, current_time, xb):
         np.save(os.path.join(self.work_dir, "xb.npy"), np.asarray(xb))
@@ -500,6 +542,7 @@ class CycledDA:
                 current_time = nxt
                 if epoch % self.cfg.save_interval == 0:
                     self.save_ckpt(current_time, xb)
+                    self.save_eval_result(consolidate=True)
                 epoch += 1
                 if self.verbose:
                     print(f"  cycle took {time.time() - t0:.2f}s",
@@ -508,5 +551,5 @@ class CycledDA:
             if pool is not None:
                 pool.shutdown(wait=False, cancel_futures=True)
         self.save_ckpt(current_time, xb)
-        self.save_eval_result()
+        self.save_eval_result(consolidate=True)
         return xb

@@ -40,7 +40,8 @@ def init_distributed(coordinator: str | None = None,
     if process_id is None and "SLURM_PROCID" in env:
         process_id = int(env["SLURM_PROCID"])
     multiproc = (num_processes or 1) > 1 or coordinator is not None
-    if multiproc and not _distributed_initialized[0]:
+    world = (coordinator, num_processes, process_id)
+    if multiproc and _distributed_initialized[0] is None:
         # must run BEFORE anything initializes the XLA backend (even
         # jax.process_count() would); idempotence via a module flag plus
         # tolerating the already-initialized error, NOT private jax state
@@ -53,11 +54,20 @@ def init_distributed(coordinator: str | None = None,
         except RuntimeError as e:
             if "already" not in str(e).lower():
                 raise
-        _distributed_initialized[0] = True
+        _distributed_initialized[0] = world
+    elif multiproc and _distributed_initialized[0] != world:
+        # a second init with a DIFFERENT world must not silently proceed
+        # with the previously initialized one
+        raise RuntimeError(
+            "init_distributed called twice with different worlds: "
+            f"first {_distributed_initialized[0]}, now {world}"
+        )
     return jax.process_index()
 
 
-_distributed_initialized = [False]
+# None = never initialized; else the (coordinator, num_processes,
+# process_id) of the first successful init.
+_distributed_initialized: list = [None]
 
 
 def make_mesh(axes: Mapping[str, int] | None = None, devices=None) -> Mesh:

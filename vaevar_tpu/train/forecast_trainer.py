@@ -218,6 +218,7 @@ def train_forecast(
     eval_step = make_eval_step(model_apply, loss_type, two_step)
 
     start_epoch = 0
+    start_step = 0
     metric_best = None
     if ckpt_dir and resume:
         from vaevar_tpu.train import checkpoint as ckpt
@@ -226,8 +227,12 @@ def train_forecast(
         if got is not None:
             trainable, opt_state, meta = got
             start_epoch = int(meta.get("epoch", -1)) + 1
+            # the TRUE global step persisted at save time — NOT derived
+            # from steps_per_epoch (which may be None / epoch lengths may
+            # vary), so a resumed ScalarWriter stream never overwrites
+            start_step = int(meta.get("step", 0))
             metric_best = meta.get("metric_best")
-            logger(f"resumed at epoch {start_epoch} "
+            logger(f"resumed at epoch {start_epoch} step {start_step} "
                    f"(metric_best={metric_best})")
 
     if mesh is not None:
@@ -248,7 +253,7 @@ def train_forecast(
 
     step_j = jax.jit(train_step, donate_argnums=(0, 1))
     history = []
-    gstep = start_epoch * (steps_per_epoch or 0)
+    gstep = start_step
     for epoch in range(start_epoch, epochs):
         for j, (inp, tars) in enumerate(train_factory(epoch)):
             if steps_per_epoch is not None and j >= steps_per_epoch:
@@ -286,10 +291,10 @@ def train_forecast(
             ):
                 metric_best = metric_now
                 ckpt.save_train_state(ckpt_dir, trainable, opt_state, epoch,
-                                      metric_best=metric_best,
+                                      step=gstep, metric_best=metric_best,
                                       alias="checkpoint_best")
             ckpt.save_train_state(ckpt_dir, trainable, opt_state, epoch,
-                                  metric_best=metric_best,
+                                  step=gstep, metric_best=metric_best,
                                   alias="checkpoint_latest")
     return trainable, history
 

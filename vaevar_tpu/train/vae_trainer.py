@@ -136,7 +136,15 @@ def train_vae(
         # state from the train step's own optimizer, no data batch needed
         params, opt_state = init_fn(None, None, None, params=init_params)
     else:
-        first = next(iter(factory(0)), None)
+        probe = iter(factory(0))
+        try:
+            first = next(probe, None)
+        finally:
+            # stop a prefetched() worker immediately: the probe only needs
+            # ONE batch for shape init; leaving the iterator to GC lets the
+            # worker buffer `depth` more disk reads that epoch 0 discards
+            if hasattr(probe, "close"):
+                probe.close()
         if first is None:
             raise ValueError("empty training loader: no batch to size init")
         params, opt_state = init_fn(base_rng, jnp.asarray(first),
