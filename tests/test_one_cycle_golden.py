@@ -1,0 +1,245 @@
+"""End-to-end one-cycle analysis golden: CycledDA.one_step_da vs a direct
+torch transcription of the reference's `one_step_DA` vae4dvar branch
+(/root/reference/da_4dvar.py:1238-1306) with PORTED weights and
+torch.optim.LBFGS — the last parity rung reachable without the reference's
+undistributed checkpoints.
+
+This composes every individually-golden-tested stage into one oracle:
+decoder forward (ported weights) -> decoder_hr nearest upsample -> err-std
+scaling -> [flow rollout for da_win>1, da_4dvar.py:1190-1194] -> obs
+quadratic -> persistent strong-Wolfe L-BFGS (Nit segments x 10 iters)
+-> analysis field. Our side runs the PRODUCTION path: the exact reduced
+obs quadratic (cost.ReducedObs / ReducedWindowObs) and the optax zoom
+L-BFGS with state continuation.
+
+Measured agreement (pinned below, f32, micro shapes 32x64/16x32):
+
+- analysis FIELD relative error ~3e-5 (bound 1e-3)
+- z500 analysis WRMSE vs truth matches to ~3e-5 relative (bound 1e-2 —
+  the BASELINE.md "Z500 within 1%" criterion, met with 300x margin)
+- increment-space divergence 0.13-0.18 (bound 0.4): the two strong-Wolfe
+  implementations accept different step sizes on the truncated
+  optimization (quantified in tests/test_lbfgs_torch_trajectory.py);
+  the effect on the ANALYSIS is the two numbers above.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+torch = pytest.importorskip("torch")
+
+from vaevar_tpu import channels, config as cfgs  # noqa: E402
+from vaevar_tpu.config import LGUnetConfig  # noqa: E402
+from vaevar_tpu.da import obs as obs_mod  # noqa: E402
+from vaevar_tpu.da.cvt import BMatrixAssets, CVTransform  # noqa: E402
+from vaevar_tpu.da.cycler import CycledDA  # noqa: E402
+from vaevar_tpu.data.era5 import SyntheticEra5  # noqa: E402
+from vaevar_tpu.models.lgunet import LGUnet  # noqa: E402
+from vaevar_tpu.utils.metrics import weighted_rmse  # noqa: E402
+from vaevar_tpu.utils.port_torch import lgunet_params_from_torch  # noqa: E402
+
+REF = "/root/reference"
+pytestmark = [
+    pytest.mark.slow,
+    pytest.mark.skipif(
+        not os.path.isdir(os.path.join(REF, "networks_old")),
+        reason="reference snapshot not available",
+    ),
+]
+
+HW = (32, 64)  # micro analysis grid (stands in for 721x1440)
+LHW = (16, 32)  # latent / solver / flow grid (stands in for 128x256)
+
+COMMON = dict(
+    patch_size=(2, 2), stride=(2, 2), enc_dim=8, embed_dim=48,
+    window_size=(2, 2), enc_depths=(2, 2), enc_heads=(2, 4),
+    lg_depths=(2, 4), lg_heads=(4, 4), attn_type="relbias", lora_rank=0,
+    lg_full_attn_first=False, dtype=None,
+)
+DEC_CFG = LGUnetConfig(img_size=LHW, inchans_list=(2, 6, 6, 6, 6, 6),
+                       outchans_list=(4, 13, 13, 13, 13, 13), **COMMON)
+FLOW_CFG = LGUnetConfig(img_size=LHW, inchans_list=(4, 13, 13, 13, 13, 13),
+                        outchans_list=(8, 26, 26, 26, 26, 26), **COMMON)
+
+MEAN3 = channels.MEAN.reshape(-1, 1, 1).astype(np.float32)
+STD3 = channels.STD.reshape(-1, 1, 1).astype(np.float32)
+STDTR = channels.ERR_STD.astype(np.float32).reshape(1, 69, 1, 1)
+
+
+def _torch_and_flax(cfg: LGUnetConfig, seed: int):
+    """Reference old-gen LGUnet_all + our LGUnet with PORTED weights."""
+    from test_torch_parity import _install_stubs
+
+    _install_stubs()
+    from networks_old.transformer import LGUnet_all
+
+    torch.manual_seed(seed)
+    tm = LGUnet_all(
+        img_size=list(cfg.img_size), patch_size=[2, 2], stride=[2, 2],
+        in_chans=cfg.in_chans, out_chans=cfg.out_chans,
+        inchans_list=list(cfg.inchans_list),
+        outchans_list=list(cfg.outchans_list),
+        enc_dim=cfg.enc_dim, embed_dim=cfg.embed_dim,
+        window_size=cfg.window_size[0],
+        enc_depths=list(cfg.enc_depths), enc_heads=list(cfg.enc_heads),
+        lg_depths=list(cfg.lg_depths), lg_heads=list(cfg.lg_heads),
+        rank=0,
+    ).eval()
+    with torch.no_grad():
+        for p in tm.parameters():
+            p.add_(0.02 * torch.randn_like(p))
+    sd = {k: v.detach().numpy() for k, v in tm.state_dict().items()}
+    return tm, lgunet_params_from_torch(sd, cfg), LGUnet(cfg)
+
+
+def _inputs(da_win: int, seed: int = 0):
+    rng = np.random.default_rng(seed)
+    gt0 = (MEAN3 + STD3 * rng.normal(size=(69, *HW))).astype(np.float32)
+    slots = [gt0]
+    for _ in range(da_win - 1):
+        slots.append(
+            (slots[-1] + 0.1 * STD3 * rng.normal(size=(69, *HW))).astype(
+                np.float32
+            )
+        )
+    gt = np.stack(slots)
+    xb = (gt0 + 0.5 * STD3 * rng.normal(size=(69, *HW))).astype(np.float32)
+    H = obs_mod.make_obs_mask("free_0010", da_win, HW, rng).astype(np.float32)
+    R = obs_mod.build_R(
+        obs_mod.obs_error_variance(0.005, 2), None, da_win, HW
+    ).astype(np.float32)
+    return gt, xb, gt.copy(), H, R  # yo = gt (synthetic obs, cycler semantics)
+
+
+def _torch_analysis(tdec, tflow, gt, xb, yo, H, R, da_win, nit, iters):
+    """Direct transcription of the reference vae4dvar solve
+    (da_4dvar.py:1183-1208 loss, :1238-1306 loop, :666-681 integrate)."""
+    import torch.nn.functional as F
+
+    mean_t, std_t = torch.tensor(MEAN3), torch.tensor(STD3)
+    stdTr_t = torch.tensor(STDTR)
+    xb_t, yo_t = torch.tensor(xb), torch.tensor(yo)
+    H_t, R_t = torch.tensor(H), torch.tensor(R)
+
+    def integrate_t(x, model, steps, interpolation=False):
+        z = ((x - mean_t) / std_t).unsqueeze(0)
+        if interpolation:
+            z = F.interpolate(z, LHW)
+        for _ in range(steps):
+            z = model(z)[:, :69]
+        if interpolation:
+            z = F.interpolate(z, HW)
+        return z.reshape(69, *HW) * std_t + mean_t
+
+    def loss(z):
+        reg = torch.sum(z ** 2) / 2
+        x = F.interpolate(tdec(z), HW)  # decoder_hr (nf_model/vae.py:87-90)
+        x = (x * stdTr_t) * std_t.reshape(1, -1, 1, 1) + xb_t
+        x = x[0]
+        xs = [x]
+        for _ in range(da_win - 1):
+            x = integrate_t(x, tflow, 1, True)[:69]
+            xs.append(x)
+        x_pred = torch.stack(xs, 0)
+        return reg + torch.sum(H_t * (x_pred - yo_t) ** 2 / R_t) / 2
+
+    z = torch.zeros(1, 32, *LHW, requires_grad=True)
+    lbfgs = torch.optim.LBFGS([z], history_size=10, max_iter=iters,
+                              line_search_fn="strong_wolfe")
+
+    def closure():
+        lbfgs.zero_grad()
+        obj = loss(z)
+        obj.backward()
+        return obj
+
+    for _ in range(nit):
+        lbfgs.step(closure)
+    with torch.no_grad():
+        out = F.interpolate(tdec(z), HW)
+        xa = out[0] * stdTr_t[0] * std_t + xb_t
+    return xa.numpy()
+
+
+def _our_analysis(dec, dec_params, flow, flow_params, gt, xb, yo, H, R,
+                  da_win, nit, iters):
+    cfg = cfgs.DAConfig(
+        da_mode="vae4dvar", da_win=da_win, nit=nit, lbfgs_iters=iters,
+        obs_std=0.005, modify_tp=2, obs_type="free_0010", q_type=-1,
+        grid_hw=HW, solver_hw=LHW, latent_shape=(1, 32, *LHW),
+        init_tp=1, init_lag=1,
+    )
+    da = CycledDA(
+        cfg, SyntheticEra5(hw=HW, seed=5),
+        lambda p, x, steps, interpolation=False: x,
+        flow_apply=flow.apply if da_win > 1 else None,
+        flow_params=flow_params if da_win > 1 else None,
+        decoder_apply=lambda p, z: dec.apply(p, z),
+        vae_params=dec_params,
+        cvt=CVTransform(BMatrixAssets.synthetic(), LHW, HW, hpad=8),
+        work_dir=tempfile.mkdtemp(), verbose=False,
+    )
+    return np.asarray(
+        da.one_step_da(jnp.asarray(gt), jnp.asarray(xb), jnp.asarray(yo),
+                       jnp.asarray(H), jnp.asarray(R))
+    )
+
+
+def _z500_wrmse(x, gt0):
+    xn = (x - MEAN3) / STD3
+    gn = (gt0 - MEAN3) / STD3
+    w = np.asarray(
+        weighted_rmse(jnp.asarray(xn)[None], jnp.asarray(gn)[None])
+    )
+    return float(w[11] * channels.STD[11])  # z500 = channel 11
+
+
+def _check(xa_j, xa_t, xb, gt0, inc_bound):
+    field_rel = np.linalg.norm(xa_j - xa_t) / np.linalg.norm(xa_t)
+    assert field_rel < 1e-3, field_rel
+    inc_rel = np.linalg.norm((xa_j - xb) - (xa_t - xb)) / np.linalg.norm(
+        xa_t - xb
+    )
+    assert inc_rel < inc_bound, inc_rel
+    wj, wt = _z500_wrmse(xa_j, gt0), _z500_wrmse(xa_t, gt0)
+    # the BASELINE "Z500 analysis RMSE within 1% of the reference" criterion
+    assert abs(wj - wt) / wt < 1e-2, (wj, wt)
+    # and the analysis actually assimilated: strictly beats the background
+    wb = _z500_wrmse(xb, gt0)
+    assert wj < wb and wt < wb, (wj, wt, wb)
+
+
+class TestOneCycleGolden:
+    def test_3dvar_config_of_record(self):
+        """da_win=1, Nit=4 x 10 iters — the launch config of record
+        (da_4dvar_script.sh:14) at micro shapes."""
+        tdec, dec_params, dec = _torch_and_flax(DEC_CFG, seed=0)
+        gt, xb, yo, H, R = _inputs(da_win=1)
+        xa_t = _torch_analysis(tdec, None, gt, xb, yo, H, R,
+                               da_win=1, nit=4, iters=10)
+        xa_j = _our_analysis(dec, dec_params, None, None, gt, xb, yo, H, R,
+                             da_win=1, nit=4, iters=10)
+        _check(xa_j, xa_t, xb, gt[0], inc_bound=0.35)
+
+    def test_4dvar_window(self):
+        """da_win=2: the torch oracle runs the reference's FULL-GRID hourly
+        rollout (normalize -> down -> flow -> up -> denorm per step,
+        da_4dvar.py:1190-1194); our side runs the production REDUCED window
+        quadratic (cost.ReducedWindowObs) whose rollout never leaves the
+        solver grid. Agreement here is the end-to-end proof that the
+        reduction is exact through the optimizer, not just per-evaluation."""
+        tdec, dec_params, dec = _torch_and_flax(DEC_CFG, seed=0)
+        tflow, flow_params, flow = _torch_and_flax(FLOW_CFG, seed=1)
+        gt, xb, yo, H, R = _inputs(da_win=2)
+        xa_t = _torch_analysis(tdec, tflow, gt, xb, yo, H, R,
+                               da_win=2, nit=2, iters=10)
+        xa_j = _our_analysis(dec, dec_params, flow, flow_params, gt, xb, yo,
+                             H, R, da_win=2, nit=2, iters=10)
+        _check(xa_j, xa_t, xb, gt[0], inc_bound=0.4)
