@@ -246,7 +246,10 @@ def main():
         )
 
     reports_source = None
-    if args.obs_type.startswith("real"):
+    if args.obs_type.startswith(("real", "prepbufr")):
+        # both station families read prepbufr-style JSON reports: real_*
+        # grids values onto the augmented obs-level space, prepbufr_* only
+        # grids the 69-channel MASK (da_4dvar.py:190-274 vs :301-440)
         from vaevar_tpu.data.reports import LocalReportsStore, SyntheticReports
 
         reports_source = (

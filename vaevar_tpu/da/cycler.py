@@ -99,6 +99,17 @@ class CycledDA:
         ) if self.cfg.da_win > 1 else None
         self.R = obs_mod.build_R(obs_var, q, self.cfg.da_win, hw)
         self.is_real_obs = self.cfg.obs_type.startswith("real")
+        if self.cfg.obs_type.startswith("prepbufr"):
+            # fail at construction, not at the first cycle
+            if self.cfg.da_win not in (1, 6):
+                raise NotImplementedError(
+                    "prepbufr obs: da_win must be 1 or 6 (da_4dvar.py:192)"
+                )
+            if self.reports_source is None:
+                raise ValueError(
+                    "obs_type=prepbufr* needs a reports_source "
+                    "(LocalReportsStore/SyntheticReports)"
+                )
         if self.is_real_obs:
             self._interp = obs_level_interp_matrix(self.cfg.interp_dim)
             # R on obs levels (da_4dvar.py:744-756)
@@ -353,6 +364,27 @@ class CycledDA:
             elif cfg.obs_type.startswith("real_simu"):
                 yo = gt_aug * H
             R = self.R_aug
+        elif cfg.obs_type.startswith("prepbufr"):
+            # station-JSON mask family (da_4dvar.py:190-274): H from
+            # gridded reports, obs = truth at mask points, 69-channel R.
+            # The reference supports ONLY da_win 1 or 6 here (:192) — the
+            # second-file slot logic hard-codes the 6h window split.
+            if cfg.da_win not in (1, 6):
+                raise NotImplementedError(
+                    "prepbufr obs: da_win must be 1 or 6 "
+                    "(da_4dvar.py:192)"
+                )
+            yo = gt
+            H = obs_mod.station_mask_from_reports(
+                self.reports_source.get_reports(current_time),
+                cfg.da_win, cfg.grid_hw,
+            )
+            if cfg.da_win > 3:
+                H = obs_mod.station_mask_from_reports(
+                    self.reports_source.get_reports(current_time + CYCLE),
+                    cfg.da_win, cfg.grid_hw, second_file=True, H_out=H,
+                )
+            R = self.R
         else:
             yo = gt
             H = obs_mod.make_obs_mask(

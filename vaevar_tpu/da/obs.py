@@ -150,6 +150,12 @@ def make_obs_mask(
         flat[rng.choice(H * W, size=amount, replace=False)] = 1
         m2d = flat.reshape(H, W)
         return np.broadcast_to(m2d, (da_win, 69, H, W)).copy()
+    if obs_type.startswith("prepbufr"):
+        raise ValueError(
+            "prepbufr masks come from station reports, not a mask rule: "
+            "route through station_mask_from_reports with a reports_source "
+            "(cycler.get_obs_info does this automatically)"
+        )
     raise FileNotFoundError(f"no mask asset or rule for obs_type={obs_type}")
 
 
@@ -158,6 +164,31 @@ def make_obs_mask(
 _STATION_HEIGHT_BINS = np.array(
     [75, 125, 175, 225, 275, 350, 450, 550, 650, 775, 887.5, 962.5]
 )
+
+
+def _report_fields(elem):
+    """(position, value) lists if the report row is well-formed, else None.
+
+    Real prepbufr-derived JSONs vary in schema; the reference's only
+    explicit guard is None positions (da_4dvar.py:200-201) — anything else
+    malformed crashes it. Here malformed rows are SKIPPED instead:
+    missing/renamed keys, short lists, None or non-finite position fields.
+    Value-slot falsiness (None/0 = not reported) is handled downstream,
+    exactly like the reference's `if elem['value'][k]:` tests."""
+    if not isinstance(elem, dict):
+        return None
+    pos = elem.get("position")
+    val = elem.get("value")
+    if not isinstance(pos, (list, tuple)) or len(pos) < 4:
+        return None
+    if not isinstance(val, (list, tuple)) or len(val) < 8:
+        return None
+    for p in pos[:4]:
+        if not isinstance(p, (int, float)) or isinstance(p, bool):
+            return None
+        if not np.isfinite(p):
+            return None
+    return pos, val
 
 
 def _grid_indices(lon_deg: float, lat_deg: float, hw) -> tuple[int, int]:
@@ -203,16 +234,15 @@ def station_mask_from_reports(
     'value': [p?, z, q, u, v, t, ?, msl]}."""
     Hm = H_out if H_out is not None else np.zeros((da_win, 69, *hw), np.float32)
     for key in reports:
-        elem = reports[key]
-        pos = elem["position"]
-        if any(p is None for p in pos[:4]):
+        fields = _report_fields(reports[key])
+        if fields is None:
             continue
+        pos, val = fields
         lat, lon = _grid_indices(pos[0], pos[1], hw)
         h = int(np.sum((_STATION_HEIGHT_BINS - pos[2]) <= 0))
         t = _time_slot(pos[3], da_win, second_file)
         if t is None:
             continue
-        val = elem["value"]
         for vi in range(5):
             if val[1 + vi]:
                 Hm[t, 4 + h + 13 * vi, lat, lon] = 1
@@ -276,12 +306,15 @@ def grid_real_obs(
 
     for fi, reports in enumerate(reports_list):
         for key in reports:
-            elem = reports[key]
-            pos = elem["position"]
-            if any(p is None for p in pos[:4]):
+            fields = _report_fields(reports[key])
+            if fields is None:
                 continue
+            pos, val = fields
+            if (not isinstance(val[0], (int, float))
+                    or isinstance(val[0], bool)
+                    or not np.isfinite(val[0]) or val[0] <= 0):
+                continue  # pressure anchors level binning AND z/t lapse
             lat, lon = _grid_indices(pos[0], pos[1], hw)
-            val = elem["value"]
             h = int(np.sum((bins - val[0]) <= 0))
             t = _time_slot(pos[3], da_win, second_file=fi > 0)
             if t is None:

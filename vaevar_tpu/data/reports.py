@@ -43,7 +43,7 @@ class SyntheticReports:
     (plus optional noise) at a random pressure level each cycle."""
 
     def __init__(self, truth_source, n_stations: int = 2000, seed: int = 0,
-                 noise: float = 0.0):
+                 noise: float = 0.0, dt_range: tuple = (0.0, 0.0)):
         self.truth = truth_source
         self.noise = noise
         rng = np.random.default_rng(seed)
@@ -52,6 +52,10 @@ class SyntheticReports:
         self.levels = rng.choice(
             np.asarray(channels.PRESSURE_LEVELS, np.float64), n_stations
         )
+        # report-time offsets (hours) relative to the file timestamp; real
+        # prepbufr files carry reports spread across the window
+        # (da_4dvar.py:209-224) — spread dt to populate window slots
+        self.dts = rng.uniform(*dt_range, n_stations)
         self._seed = seed
 
     def get_reports(self, ts) -> dict:
@@ -75,7 +79,7 @@ class SyntheticReports:
             msl = state[3, lat, lon] / 100.0
             out[f"s{s}"] = {
                 "position": [float(self.lons[s]), float(self.lats[s]),
-                             float(self.levels[s]), 0.0],
+                             float(self.levels[s]), float(self.dts[s])],
                 "value": [float(self.levels[s]), float(z + noise[0]),
                           float(q + noise[1]), float(u + noise[2]),
                           float(v + noise[3]), float(t + noise[4]),
