@@ -56,7 +56,15 @@ def wait_for_backend(total_s: float | None = None, poll_s: float = 60.0):
     """
     if total_s is None:
         total_s = float(os.environ.get("BENCH_BACKEND_WAIT_S", "1800"))
-    probe = "import jax; print(jax.devices()[0].platform)"
+    # honor JAX_PLATFORMS inside the probe too: the axon plugin ignores the
+    # env var alone (CLAUDE.md), so a cpu-forced bench run would otherwise
+    # probe the (possibly dead) TPU tunnel it is trying to avoid
+    probe = (
+        "import os, jax\n"
+        "if os.environ.get('JAX_PLATFORMS'):\n"
+        "    jax.config.update('jax_platforms', os.environ['JAX_PLATFORMS'])\n"
+        "print(jax.devices()[0].platform)"
+    )
     deadline = time.time() + total_s
     attempt = 0
     while True:

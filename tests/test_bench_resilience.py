@@ -1,0 +1,62 @@
+"""bench.wait_for_backend: a transient backend outage must degrade to a
+late run (bounded poll/retry), never an instant rc=1 — the round-2 perf
+artifact was voided by exactly that (BENCH_r02.json rc=1 while the axon
+tunnel was down)."""
+
+import sys
+import time
+
+import pytest
+
+sys.path.insert(0, ".")  # repo root (bench.py lives there)
+
+import bench  # noqa: E402
+
+
+class TestWaitForBackend:
+    def test_succeeds_when_backend_up(self):
+        # CPU backend is always importable in the test env; the probe
+        # subprocess inherits JAX_PLATFORMS=cpu from conftest
+        t0 = time.time()
+        bench.wait_for_backend(total_s=240.0, poll_s=1.0)
+        assert time.time() - t0 < 200.0  # one probe, no retries
+
+    def test_bounded_failure_raises(self, monkeypatch):
+        # make every probe fail fast: run a python that exits nonzero
+        calls = []
+        import subprocess
+
+        real_run = subprocess.run
+
+        def fake_run(cmd, **kw):
+            calls.append(cmd)
+            return real_run([sys.executable, "-c", "raise SystemExit(1)"],
+                            **kw)
+
+        monkeypatch.setattr(bench.subprocess, "run", fake_run)
+        t0 = time.time()
+        with pytest.raises(RuntimeError, match="no usable JAX backend"):
+            bench.wait_for_backend(total_s=8.0, poll_s=1.0)
+        assert len(calls) >= 2  # it retried before giving up
+        assert time.time() - t0 < 60.0  # and gave up at the deadline
+
+    def test_recovers_mid_poll(self, monkeypatch):
+        # first probe fails, second succeeds -> returns instead of raising
+        import subprocess
+
+        real_run = subprocess.run
+        state = {"n": 0}
+
+        def flaky_run(cmd, **kw):
+            state["n"] += 1
+            if state["n"] == 1:
+                return real_run(
+                    [sys.executable, "-c", "raise SystemExit(1)"], **kw
+                )
+            return real_run(
+                [sys.executable, "-c", "print('cpu')"], **kw
+            )
+
+        monkeypatch.setattr(bench.subprocess, "run", flaky_run)
+        bench.wait_for_backend(total_s=60.0, poll_s=0.2)
+        assert state["n"] == 2
