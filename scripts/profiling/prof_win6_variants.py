@@ -75,9 +75,17 @@ def run(name, block_remat, step_ckpt):
     compiled = lowered.compile()
     mem = compiled.memory_analysis()
     try:
-        print(f"{name}: program hbm "
-              f"{(mem.temp_size_in_bytes + mem.output_size_in_bytes) / 2**30:.2f} GiB "
+        prog_gib = (mem.temp_size_in_bytes + mem.output_size_in_bytes) / 2**30
+        print(f"{name}: program hbm {prog_gib:.2f} GiB "
               f"(temp {mem.temp_size_in_bytes / 2**30:.2f})", flush=True)
+        # do NOT execute a variant that would OOM the worker: a worker OOM
+        # kills the axon tunnel for hours (docs/PERF.md round-2 postmortem).
+        # ~2 GB of params/inputs are resident next to the program on a
+        # 15.75 GiB v5e chip.
+        if prog_gib > 12.5:
+            print(f"{name}: SKIPPED execution (would risk worker OOM)",
+                  flush=True)
+            return
     except AttributeError:
         print(f"{name}: mem {mem}", flush=True)
     # time 10 dispatched iterations (one outer segment's worth). Two

@@ -99,7 +99,7 @@ def _torch_and_flax(cfg: LGUnetConfig, seed: int):
     return tm, lgunet_params_from_torch(sd, cfg), LGUnet(cfg)
 
 
-def _inputs(da_win: int, seed: int = 0):
+def _inputs(da_win: int, seed: int = 0, obs_std: float = 0.005):
     rng = np.random.default_rng(seed)
     gt0 = (MEAN3 + STD3 * rng.normal(size=(69, *HW))).astype(np.float32)
     slots = [gt0]
@@ -113,7 +113,7 @@ def _inputs(da_win: int, seed: int = 0):
     xb = (gt0 + 0.5 * STD3 * rng.normal(size=(69, *HW))).astype(np.float32)
     H = obs_mod.make_obs_mask("free_0010", da_win, HW, rng).astype(np.float32)
     R = obs_mod.build_R(
-        obs_mod.obs_error_variance(0.005, 2), None, da_win, HW
+        obs_mod.obs_error_variance(obs_std, 2), None, da_win, HW
     ).astype(np.float32)
     return gt, xb, gt.copy(), H, R  # yo = gt (synthetic obs, cycler semantics)
 
@@ -216,6 +216,74 @@ def _check(xa_j, xa_t, xb, gt0, inc_bound):
     assert wj < wb and wt < wb, (wj, wt, wb)
 
 
+def _torch_cvt_chain(cvt):
+    """Differentiable torch transcription of the FULL B^1/2 chain
+    (da_4dvar.py:878-926): SHT smoothing (rfft + Legendre einsum, tables
+    pinned independently vs scipy in tests/test_sht_golden.py), 11/len^2
+    scaling, psi regression coupling, surface std, vertical EOF, and the
+    psi/chi -> winds stencils incl. torch.gradient edge formulas."""
+    import torch.nn.functional as F
+
+    NS, NLEV = 4, 13
+    nlat, nlon = cvt.nlat, cvt.nlon
+    mmax = cvt.sht.mmax
+    b = cvt.b
+    P_t = torch.tensor(np.asarray(cvt.sht._P), dtype=torch.complex64)
+    Pw_t = torch.tensor(np.asarray(cvt.sht._Pw), dtype=torch.complex64)
+    l = np.arange(cvt.sht.lmax, dtype=np.float32)
+    sph = 2.0 * np.pi * np.sqrt(4.0 * np.pi / (2.0 * l + 1.0))
+    scale_t = torch.tensor(sph[None] * np.asarray(cvt.kernel_l0))
+    len2_t = torch.tensor(b.len_scale.reshape(-1, 1, 1) ** 2)
+    reg_t = torch.tensor(b.reg_coeff)
+    std_sur_t = torch.tensor(b.std_sur.reshape(-1, 1, 1))
+    eof = [torch.tensor(b.vert_eig_vec[i]
+                        * np.sqrt(b.vert_eig_value[i])[None])
+           for i in range(5)]
+
+    def smooth(x):
+        Fc = torch.fft.rfft(x, dim=-1) * (2.0 * np.pi / nlon)
+        Fc = Fc[..., :mmax]
+        c = torch.einsum("lmj,cjm->clm", Pw_t, Fc)
+        c = c * scale_t.to(torch.complex64)[:, :, None]
+        g = torch.einsum("lmj,clm->cjm", P_t, c)
+        nfreq = nlon // 2 + 1
+        if mmax < nfreq:
+            g = F.pad(g, (0, nfreq - mmax))
+        return torch.fft.irfft(g, n=nlon, dim=-1) * nlon
+
+    def partial_x(f):
+        xs = torch.sin(torch.linspace(1 / 180 * torch.pi,
+                                      179 / 180 * torch.pi,
+                                      nlat)).reshape(1, -1, 1)
+        s1 = torch.cat([f[:, :, 1:], f[:, :, :1]], 2)
+        s2 = torch.cat([f[:, :, -1:], f[:, :, :-1]], 2)
+        return (s2 - s1) / (2 * 111195 * 180 / nlat * xs)
+
+    def partial_y(f):
+        lat = (torch.arange(nlat, dtype=torch.float32)
+               * 111195.0 * 180.0 / (nlat - 1),)
+        return torch.gradient(f, spacing=lat, dim=1)[0]
+
+    def increment(w):
+        inc = 11.0 * smooth(w) / len2_t
+        psi = inc[NS + 2 * NLEV: NS + 3 * NLEV]
+        vmode = inc + torch.einsum("ck,khw->chw", reg_t, psi)
+        parts = [vmode[:NS] * std_sur_t]
+        for i in range(5):
+            blk = vmode[NS + i * NLEV: NS + (i + 1) * NLEV]
+            parts.append(torch.einsum("lk,khw->lhw", eof[i], blk))
+        sfvp = torch.cat(parts, 0)
+        sf = sfvp[NS + 2 * NLEV: NS + 3 * NLEV]
+        vp = sfvp[NS + 3 * NLEV: NS + 4 * NLEV]
+        uw = partial_y(sf) - partial_x(vp)
+        vw = -partial_x(sf) - partial_y(vp)
+        return torch.cat(
+            [sfvp[:NS + 2 * NLEV], uw, vw, sfvp[NS + 4 * NLEV:]], 0
+        )
+
+    return increment
+
+
 class TestOneCycleGolden:
     def test_3dvar_config_of_record(self):
         """da_win=1, Nit=4 x 10 iters — the launch config of record
@@ -242,4 +310,72 @@ class TestOneCycleGolden:
                                da_win=2, nit=2, iters=10)
         xa_j = _our_analysis(dec, dec_params, flow, flow_params, gt, xb, yo,
                              H, R, da_win=2, nit=2, iters=10)
+        _check(xa_j, xa_t, xb, gt[0], inc_bound=0.4)
+
+    def test_sc4dvar_3dvar(self):
+        """sc4dvar (CVT B^1/2 control) one-cycle analysis vs the torch
+        transcription of da_4dvar.py:1064-1177 (loss :1065-1101, L-BFGS
+        max_iter=5 :1119), with the CALIBRATED synthetic B assets
+        (BMatrixAssets.synthetic scales the chain to the NMC
+        background-error table so the quadratic is optimizable — the
+        reference's real assets are physically scaled by construction).
+        Measured: chain parity ~2e-7, field rel err ~9e-5, z500 rel diff
+        ~5e-6, increment divergence 0.16."""
+        b = BMatrixAssets.synthetic(scale_factor=2.0, seed=3)
+        cvt = CVTransform(b, solver_hw=LHW, out_hw=HW, hpad=8)
+        increment_t = _torch_cvt_chain(cvt)
+
+        # chain parity on a random control (oracle sanity)
+        rng = np.random.default_rng(0)
+        w_probe = rng.normal(size=(69, *LHW)).astype(np.float32)
+        ours = np.asarray(cvt.increment(jnp.asarray(w_probe)))
+        theirs = increment_t(torch.tensor(w_probe)).detach().numpy()
+        chain_rel = np.linalg.norm(ours - theirs) / np.linalg.norm(theirs)
+        assert chain_rel < 1e-5, chain_rel
+
+        gt, xb, yo, H, R = _inputs(da_win=1, obs_std=0.05)
+        nit, iters = 4, 5  # sc4dvar: max_iter=5 (da_4dvar.py:1119)
+
+        # torch one_step_DA sc4dvar
+        import torch.nn.functional as F
+
+        w = torch.zeros(69, *LHW, requires_grad=True)
+        xb_t, yo_t = torch.tensor(xb), torch.tensor(yo)
+        H_t, R_t = torch.tensor(H), torch.tensor(R)
+        lbfgs = torch.optim.LBFGS([w], history_size=10, max_iter=iters,
+                                  line_search_fn="strong_wolfe")
+
+        def loss(w_):
+            reg = torch.sum(w_ ** 2) / 2
+            x = xb_t + F.interpolate(increment_t(w_).unsqueeze(0), HW)[0]
+            return reg + torch.sum(H_t * (x[None] - yo_t) ** 2 / R_t) / 2
+
+        def closure():
+            lbfgs.zero_grad()
+            obj = loss(w)
+            obj.backward()
+            return obj
+
+        for _ in range(nit):
+            lbfgs.step(closure)
+        with torch.no_grad():
+            xa_t = (xb_t + F.interpolate(increment_t(w).unsqueeze(0),
+                                         HW)[0]).numpy()
+
+        # our production path
+        cfg = cfgs.DAConfig(
+            da_mode="sc4dvar", da_win=1, nit=nit, lbfgs_iters=iters,
+            obs_std=0.05, modify_tp=2, obs_type="free_0010", q_type=-1,
+            scale_factor=2.0, grid_hw=HW, solver_hw=LHW,
+            latent_shape=(1, 32, *LHW), init_tp=1, init_lag=1,
+        )
+        da = CycledDA(
+            cfg, SyntheticEra5(hw=HW, seed=5),
+            lambda p, x, steps, interpolation=False: x,
+            cvt=cvt, work_dir=tempfile.mkdtemp(), verbose=False,
+        )
+        xa_j = np.asarray(
+            da.one_step_da(jnp.asarray(gt), jnp.asarray(xb),
+                           jnp.asarray(yo), jnp.asarray(H), jnp.asarray(R))
+        )
         _check(xa_j, xa_t, xb, gt[0], inc_bound=0.4)

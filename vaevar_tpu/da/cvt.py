@@ -56,19 +56,78 @@ class BMatrixAssets:
         )
 
     @classmethod
-    def synthetic(cls, scale_factor: float = 1.0, seed: int = 0) -> "BMatrixAssets":
-        """Plausible stand-in assets for tests / runs without the .npy files."""
+    def synthetic(cls, scale_factor: float = 1.0, seed: int = 0,
+                  calibrate: bool = True) -> "BMatrixAssets":
+        """Plausible stand-in assets for tests / runs without the .npy files.
+
+        With `calibrate` (default), the per-block output scales are fitted
+        so that B^1/2 of a unit-normal control has per-channel std near the
+        NMC background-error magnitude ERR_STD*STD (the same table
+        vae4dvar's decoder increment is scaled by, da_4dvar.py:1181). The
+        reference's REAL assets are physically scaled this way by
+        construction; uncalibrated random tables leave the wind channels
+        ~1e5 too weak (the psi/chi->wind stencils divide by the grid
+        metric) and the humidity channels relatively huge, making the
+        sc4dvar quadratic so anisotropic (~12 orders across channels) that
+        NO optimizer can move the analysis. Calibration runs once per
+        (scale_factor, seed) on the production 128x256 solver grid and is
+        cached."""
+        key = (float(scale_factor), int(seed))
+        if calibrate and key in _SYNTH_CACHE:
+            return _SYNTH_CACHE[key]
         rng = np.random.default_rng(seed)
         q = rng.normal(size=(5, 13, 13))
         vecs = np.stack([np.linalg.qr(m)[0] for m in q]).astype(np.float32)
         vals = np.exp(rng.normal(size=(5, 13))).astype(np.float32)
-        return cls(
+        raw = cls(
             len_scale=(1.0 + 3.0 * rng.random(69).astype(np.float32)) * scale_factor,
             reg_coeff=(0.1 * rng.normal(size=(69, 13))).astype(np.float32),
             std_sur=np.ones(4, np.float32),
             vert_eig_value=vals,
             vert_eig_vec=vecs,
         )
+        if not calibrate:
+            return raw
+        from vaevar_tpu import channels
+
+        probe_t = CVTransform(raw, solver_hw=(128, 256), out_hw=(128, 256))
+        u = jnp.asarray(
+            rng.normal(size=(2, 69, 128, 256)), jnp.float32
+        )
+        import jax
+
+        got = np.asarray(jax.vmap(probe_t.increment)(u)).std(axis=(0, 2, 3))
+        got = np.maximum(got, 1e-30)
+        target = (channels.ERR_STD * channels.STD).astype(np.float64)
+        r = target / got
+        nl, ns = N_LEVELS, N_SINGLE
+        # per-channel calibration: output channel l of block i scales
+        # linearly with ROW l of its EOF matrix (out_l = V[l,:] sqrt(L) blk;
+        # the coupling term reads the PRE-EOF psi channels, so there is no
+        # feedback). Level-l winds come from psi_l AND chi_l jointly
+        # (u_l = dy psi_l - dx chi_l, v_l = -dx psi_l - dy chi_l), so
+        # blocks 2/3 share one per-level factor = gmean of the u_l, v_l
+        # ratios.
+        vecs_cal = raw.vert_eig_vec.astype(np.float64).copy()
+        for i in (0, 1, 4):
+            vecs_cal[i] *= r[ns + i * nl : ns + (i + 1) * nl, None]
+        g_lvl = np.sqrt(r[ns + 2 * nl : ns + 3 * nl]
+                        * r[ns + 3 * nl : ns + 4 * nl])
+        vecs_cal[2] *= g_lvl[:, None]
+        vecs_cal[3] *= g_lvl[:, None]
+        out = cls(
+            len_scale=raw.len_scale,
+            reg_coeff=raw.reg_coeff,
+            # surface channels scale directly through std_sur
+            std_sur=(target[:ns] / got[:ns]).astype(np.float32),
+            vert_eig_value=raw.vert_eig_value,
+            vert_eig_vec=vecs_cal.astype(np.float32),
+        )
+        _SYNTH_CACHE[key] = out
+        return out
+
+
+_SYNTH_CACHE: dict = {}
 
 
 class CVTransform:
