@@ -254,8 +254,14 @@ def main():
 
         reports_source = (
             LocalReportsStore(args.reports_dir) if args.reports_dir
-            else SyntheticReports(source, n_stations=args.n_stations,
-                                  seed=args.seed + 3)
+            else SyntheticReports(
+                source, n_stations=args.n_stations, seed=args.seed + 3,
+                # spread synthetic report times across the window so 4D-Var
+                # slots 1..5 actually see obs (real prepbufr files carry
+                # reports throughout the window; dt=0 would put everything
+                # in slot 0 and waste the second-file read)
+                dt_range=(-3.0, 3.0) if args.da_win > 1 else (0.0, 0.0),
+            )
         )
 
     name = (

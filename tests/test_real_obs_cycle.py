@@ -181,6 +181,28 @@ class TestPrepbufrCycle:
                      decoder_apply=dec_apply, vae_params=params,
                      work_dir=str(tmp_path / "noreports"), verbose=False)
 
+    def test_report_fields_accepts_numpy_scalars(self):
+        """Report sources often index numpy arrays without float()
+        coercion; np.float32 positions must not be classed as malformed."""
+        from vaevar_tpu.da import obs as obs_mod
+
+        elem = {
+            "position": [np.float32(90.0), np.float64(45.0),
+                         np.float32(500.0), np.int64(0)],
+            "value": [np.float32(500.0), np.float32(5500.0), None, None,
+                      None, None, None, None],
+        }
+        got = obs_mod._report_fields(elem)
+        assert got is not None
+        # while bools and NaNs are still rejected
+        assert obs_mod._report_fields(
+            {"position": [True, 45.0, 500.0, 0.0], "value": [0.0] * 8}
+        ) is None
+        assert obs_mod._report_fields(
+            {"position": [np.float32("nan"), 45.0, 500.0, 0.0],
+             "value": [0.0] * 8}
+        ) is None
+
     def test_make_obs_mask_rejects_prepbufr_with_pointer(self):
         from vaevar_tpu.da import obs as obs_mod
 

@@ -204,6 +204,32 @@ class TestMeshFromArg:
             pmesh.mesh_from_arg("2x4")
 
 
+class TestInitDistributedGuard:
+    """init_distributed records the first-initialized world and must raise
+    on a re-init with a DIFFERENT world instead of silently proceeding
+    with the old one (ADVICE round-2)."""
+
+    def _patched(self, monkeypatch, world):
+        monkeypatch.setattr(pmesh, "_distributed_initialized", [world])
+
+    def test_same_world_reinit_is_noop(self, monkeypatch):
+        world = ("host:1234", 2, 0)
+        self._patched(monkeypatch, world)
+        # same world again: returns the process index without raising
+        assert pmesh.init_distributed(*world) == 0
+
+    def test_mismatched_world_raises(self, monkeypatch):
+        self._patched(monkeypatch, ("host:1234", 2, 0))
+        with pytest.raises(RuntimeError, match="different worlds"):
+            pmesh.init_distributed("other:9999", 4, 1)
+
+    def test_single_process_never_guards(self, monkeypatch):
+        self._patched(monkeypatch, ("host:1234", 2, 0))
+        # a non-multiproc call (no coordinator, world size 1) is a no-op
+        # regardless of recorded state
+        assert pmesh.init_distributed(None, 1, None) == 0
+
+
 class TestPrefetched:
     def test_order_preserving(self):
         from vaevar_tpu.data.prefetch import prefetched

@@ -367,13 +367,8 @@ class CycledDA:
         elif cfg.obs_type.startswith("prepbufr"):
             # station-JSON mask family (da_4dvar.py:190-274): H from
             # gridded reports, obs = truth at mask points, 69-channel R.
-            # The reference supports ONLY da_win 1 or 6 here (:192) — the
-            # second-file slot logic hard-codes the 6h window split.
-            if cfg.da_win not in (1, 6):
-                raise NotImplementedError(
-                    "prepbufr obs: da_win must be 1 or 6 "
-                    "(da_4dvar.py:192)"
-                )
+            # The reference supports ONLY da_win 1 or 6 here (:192);
+            # __post_init__ enforces that at construction.
             yo = gt
             H = obs_mod.station_mask_from_reports(
                 self.reports_source.get_reports(current_time),

@@ -22,6 +22,7 @@ once per cycle); everything applied inside the cost is device-resident.
 
 from __future__ import annotations
 
+import numbers
 import os
 import re
 from dataclasses import dataclass
@@ -184,7 +185,9 @@ def _report_fields(elem):
     if not isinstance(val, (list, tuple)) or len(val) < 8:
         return None
     for p in pos[:4]:
-        if not isinstance(p, (int, float)) or isinstance(p, bool):
+        # numbers.Real admits numpy scalars (np.float32 etc.), not just
+        # builtin float — report sources often index numpy arrays
+        if not isinstance(p, numbers.Real) or isinstance(p, bool):
             return None
         if not np.isfinite(p):
             return None
@@ -310,7 +313,7 @@ def grid_real_obs(
             if fields is None:
                 continue
             pos, val = fields
-            if (not isinstance(val[0], (int, float))
+            if (not isinstance(val[0], numbers.Real)
                     or isinstance(val[0], bool)
                     or not np.isfinite(val[0]) or val[0] <= 0):
                 continue  # pressure anchors level binning AND z/t lapse

@@ -229,8 +229,12 @@ def train_forecast(
             start_epoch = int(meta.get("epoch", -1)) + 1
             # the TRUE global step persisted at save time — NOT derived
             # from steps_per_epoch (which may be None / epoch lengths may
-            # vary), so a resumed ScalarWriter stream never overwrites
-            start_step = int(meta.get("step", 0))
+            # vary), so a resumed ScalarWriter stream never overwrites.
+            # Checkpoints written before step= was persisted carry step=0;
+            # fall back to the old derivation rather than restart at 0.
+            start_step = int(meta.get("step", 0)) or (
+                start_epoch * (steps_per_epoch or 0)
+            )
             metric_best = meta.get("metric_best")
             logger(f"resumed at epoch {start_epoch} step {start_step} "
                    f"(metric_best={metric_best})")
