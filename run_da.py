@@ -66,7 +66,9 @@ def arg_parser():
     p.add_argument("--mesh", type=str, default=None,
                    help="spatial device mesh 'SHxSW' (e.g. 2x4) to shard "
                         "the (lat, lon) grid of the variational solve")
-    p.add_argument("--bf16", action="store_true", default=True)
+    p.add_argument("--bf16", action=argparse.BooleanOptionalAction,
+                   default=True,
+                   help="bf16 compute (default on; --no-bf16 for f32)")
     p.add_argument("--fast_init", action="store_true",
                    help="materialize random params via eval_shape + host "
                         "RNG (seconds, not minutes) when no ckpt is given")
@@ -74,6 +76,14 @@ def arg_parser():
                    help="micro model configs (smoke runs / CPU mesh tests); "
                         "latent becomes 8 channels")
     p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--win_remat", type=str, default="both",
+                   choices=["both", "block", "step", "none"],
+                   help="rematerialization inside the 4D-Var window cost: "
+                   "block-level model remat and/or one jax.checkpoint per "
+                   "rollout step. 'both' (default) minimizes HBM; on chips "
+                   "with headroom 'block'/'step'/'none' trade memory for "
+                   "less backward recompute (probe: scripts/profiling/"
+                   "prof_win6_variants.py)")
     p.add_argument("--no_prefetch", action="store_true",
                    help="disable the obs-prefetch worker thread (serial "
                    "obs read -> solve loop, the reference's structure)")
@@ -173,6 +183,7 @@ def main():
         init_lag=args.init_lag,
         init_tp=args.init_tp,
         save_interval=args.save_interval,
+        window_step_checkpoint=args.win_remat in ("both", "step"),
         latent_shape=(1, 8 if args.micro else 32, *shw),
         grid_hw=hw,
         solver_hw=shw,
@@ -205,7 +216,8 @@ def main():
     # remat decoder blocks in 4D-Var: the decoder backward otherwise keeps
     # ~6 GB of activations live on top of the window rollout (measured on
     # v5e; docs/PERF.md). 3D-Var keeps the faster non-remat backward.
-    dec_cfg = dec_base.replace(dtype=dtype, remat=args.da_win > 1)
+    block_remat = args.da_win > 1 and args.win_remat in ("both", "block")
+    dec_cfg = dec_base.replace(dtype=dtype, remat=block_remat)
     decoder = LGUnet(dec_cfg)
     z0 = jnp.zeros(cfg.latent_shape, jnp.float32)
     dec_params = (
@@ -215,7 +227,7 @@ def main():
 
     # remat flow blocks when the model runs INSIDE the 4D-Var cost: the
     # window backward otherwise keeps ~4 GB of flow activations live
-    flow_cfg = flow_base.replace(dtype=dtype, remat=args.da_win > 1)
+    flow_cfg = flow_base.replace(dtype=dtype, remat=block_remat)
     flow = LGUnet(flow_cfg)
     flow_params = (
         ckpt.restore(args.flow_ckpt) if args.flow_ckpt

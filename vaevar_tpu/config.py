@@ -236,6 +236,12 @@ class DAConfig:
     latent_shape: tuple[int, ...] = (1, 32, 128, 256)
     grid_hw: tuple[int, int] = (721, 1440)  # analysis grid
     solver_hw: tuple[int, int] = (128, 256)  # CVT / latent grid
+    # one jax.checkpoint per rollout step inside the window cost
+    # (cost._make_window_obs_reduced). Default on = bounded live set in
+    # the backward; turn off to trade HBM for less recompute when the
+    # segment program fits comfortably (probe:
+    # scripts/profiling/prof_win6_variants.py, run_da --win_remat)
+    window_step_checkpoint: bool = True
 
     def replace(self, **kw) -> "DAConfig":
         return dataclasses.replace(self, **kw)

@@ -180,6 +180,7 @@ class CycledDA:
                     cost_mod.make_vae4dvar_cost_window_reduced(
                         self.decoder_apply, self.flow_apply,
                         da_win=cfg.da_win, obs_coeff=cfg.obs_coeff,
+                        step_checkpoint=cfg.window_step_checkpoint,
                     )
                 )
                 self._reduce_obs = jax.jit(
@@ -213,6 +214,7 @@ class CycledDA:
                     cost_mod.make_sc4dvar_cost_window_reduced(
                         self.cvt.increment, self.flow_apply,
                         da_win=cfg.da_win, obs_coeff=cfg.obs_coeff,
+                        step_checkpoint=cfg.window_step_checkpoint,
                     )
                 )
                 self._reduce_obs = jax.jit(
