@@ -521,6 +521,27 @@ class TestReducedWindowCost:
         nrel = np.linalg.norm(gr - gf) / np.linalg.norm(gf)
         assert np.median(rel) < 1e-5 and nrel < 5e-4, (np.median(rel), nrel)
 
+    def test_step_checkpoint_knob_is_value_neutral(self):
+        """window_step_checkpoint (run_da --win_remat) is a pure
+        rematerialization toggle: J, Jo, and grads must be IDENTICAL with
+        it on or off (jax.checkpoint changes recompute, not values)."""
+        da_win = 3
+        dec_apply, flow_apply, bundle, params, z, low = self._setup(da_win)
+        red = cost_mod.reduce_obs_window(bundle, low)
+        c_on, _, p_on = cost_mod.make_vae4dvar_cost_window_reduced(
+            dec_apply, flow_apply, da_win=da_win, step_checkpoint=True)
+        c_off, _, p_off = cost_mod.make_vae4dvar_cost_window_reduced(
+            dec_apply, flow_apply, da_win=da_win, step_checkpoint=False)
+        np.testing.assert_allclose(float(c_on(z, red, params)),
+                                   float(c_off(z, red, params)), rtol=1e-6)
+        np.testing.assert_allclose(
+            float(p_on(z, red, params)[1]), float(p_off(z, red, params)[1]),
+            rtol=1e-6)
+        g_on = np.asarray(jax.grad(lambda q: c_on(q, red, params))(z))
+        g_off = np.asarray(jax.grad(lambda q: c_off(q, red, params))(z))
+        nrel = np.linalg.norm(g_on - g_off) / np.linalg.norm(g_off)
+        assert nrel < 1e-5, nrel
+
     def test_resample_gather_matches_resize_composition(self):
         """S = down∘up as an index table equals actually composing the
         torch-convention nearest resizes (the identity only at integer
