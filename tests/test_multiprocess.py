@@ -72,3 +72,55 @@ def test_two_process_dp_matches_single_process():
     # sample set; batch-mean losses and all-reduced grads must match
     assert results[0]["losses"] == pytest.approx(gold_losses, rel=1e-5)
     assert results[0]["checksum"] == pytest.approx(gold_sum, rel=1e-5)
+
+
+@pytest.mark.slow
+def test_two_process_sharded_da_solve_matches_single_process():
+    """The v5p-16 north-star path (SURVEY.md section 2c): the spatially-
+    sharded vae4dvar solve on a (sh, sw) mesh spanning TWO OS processes
+    over jax.distributed (Gloo). Asserts (a) both ranks read identical
+    diagnostics off the process-spanning arrays — every host-read surface
+    of VariationalSolver works multihost — and (b) the 2-process solve
+    reproduces the single-process solve on the same global mesh shape."""
+    import jax
+
+    from tests.mh_worker import run_da_solve
+    from vaevar_tpu.parallel import mesh as pmesh
+
+    gold = run_da_solve(pmesh.make_mesh({"sh": 2, "sw": 4},
+                                        jax.devices()[:8]))
+    assert gold["jo"][-1] < gold["jo"][0]  # the analysis actually moved
+
+    port = _free_port()
+    env = dict(
+        os.environ,
+        PYTHONPATH=REPO + os.pathsep + os.environ.get("PYTHONPATH", ""),
+    )
+    workers = [
+        subprocess.Popen(
+            [sys.executable, os.path.join(HERE, "mh_worker.py"),
+             str(port), str(pid), "2", "da"],
+            stdout=subprocess.PIPE, stderr=subprocess.PIPE, env=env,
+            cwd=REPO, text=True,
+        )
+        for pid in range(2)
+    ]
+    outs = [w.communicate(timeout=600) for w in workers]
+    for w, (out, err) in zip(workers, outs):
+        assert w.returncode == 0, f"worker failed:\n{out}\n{err}"
+    results = [json.loads((out.strip().splitlines())[-1])
+               for out, _ in outs]
+    results.sort(key=lambda r: r["rank"])
+    assert [r["rank"] for r in results] == [0, 1]
+
+    # ranks participate in ONE collective program: identical values
+    # (xa_host_sum covers mesh.host_value's cross-process allgather)
+    for key in ("jb", "jo", "wrmse_last", "xa_sum", "xa_sq", "xa_host_sum"):
+        assert results[0][key] == pytest.approx(results[1][key], rel=1e-12)
+    # cross-process == single-process at the same global mesh shape
+    # (L-BFGS amplifies reduction-order noise; aggregate tolerance)
+    for key in ("jb", "jo", "wrmse_last"):
+        assert results[0][key] == pytest.approx(gold[key], rel=1e-4), key
+    assert results[0]["xa_sq"] == pytest.approx(gold["xa_sq"], rel=1e-4)
+    assert results[0]["xa_host_sum"] == pytest.approx(
+        gold["xa_host_sum"], rel=1e-4, abs=1e-2)

@@ -160,6 +160,19 @@ class TestShardedSolve:
                                                   1e-12)
         assert rel < 1e-3, rel
 
+    def test_host_value_reads_any_layout(self):
+        """mesh.host_value: identity on numpy, exact readback of sharded
+        and replicated device arrays (the cycler's checkpoint/field-dump
+        read path; its cross-process allgather branch is exercised by
+        tests/test_multiprocess.py)."""
+        mesh = pmesh.make_mesh({"sh": 2, "sw": 4})
+        a = np.arange(8 * 16, dtype=np.float32).reshape(8, 16)
+        np.testing.assert_array_equal(pmesh.host_value(a), a)
+        s = pmesh.shard(a, mesh, pmesh.state_spec(mesh, 2))
+        np.testing.assert_array_equal(pmesh.host_value(s), a)
+        r = pmesh.shard(a, mesh, jax.sharding.PartitionSpec())
+        np.testing.assert_array_equal(pmesh.host_value(r), a)
+
     def test_obs_term_sharded_equals_replicated(self):
         cost, to_state, parts, bundle, params, z0 = setup()
         mesh = pmesh.make_mesh({"sh": 2, "sw": 4})

@@ -26,6 +26,7 @@ from vaevar_tpu.da import baselines, cost as cost_mod, obs as obs_mod
 from vaevar_tpu.da.cost import ObsBundle
 from vaevar_tpu.da.solver import VariationalSolver
 from vaevar_tpu.ops.interp import augment_levels, obs_level_interp_matrix
+from vaevar_tpu.parallel.mesh import host_value
 from vaevar_tpu.utils import metrics as M
 
 CYCLE = pd.Timedelta("6h")
@@ -294,7 +295,7 @@ class CycledDA:
         open(os.path.join(self.work_dir, "metrics_log.jsonl"), "w").close()
 
     def save_ckpt(self, current_time, xb):
-        np.save(os.path.join(self.work_dir, "xb.npy"), np.asarray(xb))
+        np.save(os.path.join(self.work_dir, "xb.npy"), host_value(xb))
         with open(os.path.join(self.work_dir, "current_time.txt"), "w") as f:
             f.write(str(current_time))
 
@@ -415,15 +416,15 @@ class CycledDA:
         stamp = str(current_time).replace(" ", "_")
         if self.save_field:
             np.save(os.path.join(self.work_dir, f"xb_{stamp}"),
-                    np.asarray(xb))
+                    host_value(xb))
             np.save(os.path.join(self.work_dir, f"xa_{stamp}"),
-                    np.asarray(xa))
+                    host_value(xa))
         if self.save_gt:
             np.save(os.path.join(self.work_dir, f"gt_{stamp}"),
-                    np.asarray(gt))
+                    host_value(gt))
         if self.save_obs:
             np.save(os.path.join(self.work_dir, f"obs_{stamp}"),
-                    np.asarray(yo))
+                    host_value(yo))
 
     def _forecast_eval(self, xa, current_time):
         """Multi-step forecast WRMSE from the analysis: per-lead (69,)
@@ -454,7 +455,7 @@ class CycledDA:
 
     def _obs_holdout_error(self, xa, yo0, H_old0):
         """Obs-space holdout RMSE on eval cells (da_4dvar.py:1285-1287)."""
-        xhat = np.asarray(xa)
+        xhat = host_value(xa)
         if self.is_real_obs:
             xhat = np.asarray(
                 augment_levels(jnp.asarray(xhat[None]), self._interp)

@@ -122,6 +122,22 @@ def shard(x, mesh: Mesh, spec: P):
     return jax.device_put(x, NamedSharding(mesh, spec))
 
 
+def host_value(x) -> "np.ndarray":
+    """np.asarray that also works for process-spanning jax.Arrays (a mesh
+    over multiple hosts, the v5p-16 north-star path): replicated arrays
+    read the local replica; spatially-sharded arrays are allgathered to
+    every host first. Host-side consumers (cycle checkpoints, field
+    dumps, metric logs) go through here so the cycler is layout-agnostic."""
+    import numpy as np
+
+    if (isinstance(x, jax.Array) and not x.is_fully_addressable
+            and not x.is_fully_replicated):
+        from jax.experimental import multihost_utils
+
+        x = multihost_utils.process_allgather(x, tiled=True)
+    return np.asarray(x)
+
+
 def constrain(x, mesh: Mesh, spec: P):
     return jax.lax.with_sharding_constraint(x, NamedSharding(mesh, spec))
 
