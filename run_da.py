@@ -113,6 +113,13 @@ def main():
     if os.environ.get("JAX_PLATFORMS"):
         jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
 
+    from vaevar_tpu.parallel.mesh import init_distributed
+
+    # multihost no-op unless SLURM/coordinator env set (same bootstrap as
+    # the training CLIs); must precede the first backend touch below so a
+    # --mesh spanning hosts (v5p pods) sees the global device set
+    init_distributed()
+
     from vaevar_tpu.utils import compile_cache
 
     compile_cache.enable()

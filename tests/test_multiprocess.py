@@ -124,3 +124,60 @@ def test_two_process_sharded_da_solve_matches_single_process():
     assert results[0]["xa_sq"] == pytest.approx(gold["xa_sq"], rel=1e-4)
     assert results[0]["xa_host_sum"] == pytest.approx(
         gold["xa_host_sum"], rel=1e-4, abs=1e-2)
+
+
+@pytest.mark.slow
+def test_two_process_sharded_da_cli(tmp_path):
+    """The shipped CLI on a process-spanning mesh: two OS processes
+    (SLURM-style env bootstrap -> run_da's init_distributed, Gloo), each
+    owning 4 virtual CPU devices, run one micro vae4dvar cycle with
+    --mesh 2x4 sharding the (lat, lon) grid over the 8 GLOBAL devices.
+    Both controllers must complete the cycle and persist identical state
+    (cycler host reads/dumps go through mesh.host_value)."""
+    import numpy as np
+
+    port = _free_port()
+    dirs = [str(tmp_path / f"w{pid}") for pid in range(2)]
+    args = [
+        "--da_mode", "vae4dvar", "--obs_type", "free_0005", "--fast_init",
+        "--grid", "32x64", "--solver_grid", "32x64", "--micro",
+        "--mesh", "2x4", "--Nit", "2", "--use_eval", "--save_field",
+        "--start_time", "2022-01-01 00:00:00",
+        "--end_time", "2022-01-01 06:00:00",
+    ]
+    workers = []
+    for pid in range(2):
+        env = dict(
+            os.environ,
+            PYTHONPATH=REPO + os.pathsep + os.environ.get("PYTHONPATH", ""),
+            XLA_FLAGS="--xla_force_host_platform_device_count=4",
+            JAX_PLATFORMS="cpu",
+            JAX_COORDINATOR_ADDRESS=f"localhost:{port}",
+            SLURM_NTASKS="2",
+            SLURM_PROCID=str(pid),
+        )
+        workers.append(subprocess.Popen(
+            [sys.executable, os.path.join(REPO, "run_da.py"),
+             "--work_dir", dirs[pid], *args],
+            stdout=subprocess.PIPE, stderr=subprocess.PIPE, env=env,
+            cwd=REPO, text=True,
+        ))
+    outs = [w.communicate(timeout=900) for w in workers]
+    for w, (out, err) in zip(workers, outs):
+        assert w.returncode == 0, \
+            f"worker failed:\n{out[-3000:]}\n{err[-3000:]}"
+        assert "DA complete" in out
+
+    run = "run_stdmodify2_free_0005_std0.005_win1_Nit2"
+    states = [np.load(os.path.join(d, run, "xb.npy")) for d in dirs]
+    assert states[0].shape == (69, 32, 64)
+    # both controllers saw the same global arrays: identical persisted
+    # state, analyses, and metric dumps
+    np.testing.assert_array_equal(states[0], states[1])
+    for fname in ("ana_wrmse.npy", "error_obs.npy"):
+        a, b = (np.load(os.path.join(d, run, fname)) for d in dirs)
+        np.testing.assert_array_equal(a, b)
+    xa = [np.load(os.path.join(d, run, "xa_2022-01-01_00:00:00.npy"))
+          for d in dirs]
+    np.testing.assert_array_equal(xa[0], xa[1])
+    assert np.isfinite(xa[0]).all()

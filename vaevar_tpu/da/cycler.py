@@ -140,6 +140,15 @@ class CycledDA:
         self._advance = jax.jit(
             lambda p, x: self.forecast_integrate(p, x, 1, True),
         )
+        if self.mesh is not None and self.forecast_params is not None:
+            # params used OUTSIDE the solver (the 6h advance) must live on
+            # the solve mesh: a jit on a process-spanning mesh can't mix
+            # local and global arrays (solver params are committed per
+            # solve by _shard_inputs)
+            from vaevar_tpu.parallel import mesh as pmesh
+
+            self.forecast_params = pmesh.replicate(self.forecast_params,
+                                                   self.mesh)
 
     @property
     def _reducible(self):
@@ -304,7 +313,7 @@ class CycledDA:
         xpath = os.path.join(self.work_dir, "xb.npy")
         current = pd.Timestamp(open(tpath).read()) if os.path.exists(tpath) else start_time
         if os.path.exists(xpath):
-            xb = jnp.asarray(np.load(xpath))
+            xb = self._dev(np.load(xpath))
         else:
             xb = self.get_initial_state(start_time)
         return current, xb
@@ -313,17 +322,17 @@ class CycledDA:
         """Spin-up per init_tp (da_4dvar.py:649-664)."""
         cfg = self.cfg
         if cfg.init_tp == 0:
-            x0 = jnp.asarray(
+            x0 = self._dev(
                 self.state_source.get_state(start_time - cfg.init_lag * CYCLE)
             )
             return self.forecast_integrate(
                 self.forecast_params, x0, cfg.init_lag, True
             )
         if cfg.init_tp == 1:
-            return jnp.asarray(
+            return self._dev(
                 self.state_source.get_state(start_time - cfg.init_lag * CYCLE)
             )
-        return jnp.asarray(
+        return self._dev(
             self.state_source.get_state(start_time - 4 * 183 * CYCLE)
         )
 
@@ -390,11 +399,29 @@ class CycledDA:
             )
             R = self.R
         return (
-            jnp.asarray(yo),
-            jnp.asarray(H),
-            jnp.asarray(R),
-            jnp.asarray(gt),
+            self._dev(yo),
+            self._dev(H),
+            self._dev(R),
+            self._dev(gt),
         )
+
+    def _dev(self, a):
+        """Device placement for host-built arrays: plain asarray without a
+        mesh; committed to the solve mesh otherwise — full (..., H, W)
+        fields sharded over sh/sw, broadcastables replicated (the same
+        rule as VariationalSolver._shard_inputs). Required on process-
+        spanning meshes, where device programs can't mix local arrays
+        with global ones."""
+        if self.mesh is None:
+            return jnp.asarray(a)
+        from jax.sharding import PartitionSpec as P
+
+        from vaevar_tpu.parallel import mesh as pmesh
+
+        nd = jnp.ndim(a)
+        full = nd >= 2 and a.shape[-1] > 1 and a.shape[-2] > 1
+        spec = pmesh.state_spec(self.mesh, nd) if full else P()
+        return pmesh.shard(a, self.mesh, spec)
 
     def _score(self, prefix, x, gt0):
         # one jitted device program + one tiny (69,)-sized host pull per
@@ -402,7 +429,7 @@ class CycledDA:
         # .cpu() at da_4dvar.py:1127-1128; the solver path here stays
         # on-device, so scoring shouldn't be the sync point either)
         wrmse, bias, mse = jax.device_get(
-            _score_device(jnp.asarray(x), jnp.asarray(gt0))
+            _score_device(self._dev(x), self._dev(gt0))
         )
         self.metrics_list[f"{prefix}_wrmse"].append(wrmse)
         self.metrics_list[f"{prefix}_bias"].append(bias)
@@ -447,7 +474,7 @@ class CycledDA:
             except FileNotFoundError:
                 break
             wrmse, _, _ = jax.device_get(
-                _score_device(x, jnp.asarray(gt))
+                _score_device(x, self._dev(gt))
             )
             rows.append(wrmse)
         if rows:
@@ -460,8 +487,8 @@ class CycledDA:
             xhat = np.asarray(
                 augment_levels(jnp.asarray(xhat[None]), self._interp)
             )[0]
-        w = self.mask_eval * np.asarray(H_old0)
-        num = np.sum((xhat - np.asarray(yo0)) ** 2 * w, axis=(1, 2))
+        w = self.mask_eval * host_value(H_old0)
+        num = np.sum((xhat - host_value(yo0)) ** 2 * w, axis=(1, 2))
         den = np.maximum(np.sum(w, axis=(1, 2)), 1e-10)
         return np.sqrt(num / den)
 
@@ -470,7 +497,7 @@ class CycledDA:
         mode = cfg.da_mode
         H_old = H
         if cfg.use_eval:
-            H = H * (1.0 - jnp.asarray(self.mask_eval)[None])
+            H = H * (1.0 - self._dev(self.mask_eval)[None])
         w_bg = self._score("bg", xb, gt[0])
         if self.verbose:
             print(
@@ -481,9 +508,9 @@ class CycledDA:
         if mode == "free_run":
             xa = xb
         elif mode == "interpolation":
-            xa = jnp.asarray(
+            xa = self._dev(
                 baselines.interpolation_analysis(
-                    np.asarray(xb), np.asarray(yo[0]), np.asarray(H[0]),
+                    host_value(xb), host_value(yo[0]), host_value(H[0]),
                     real_obs=self.is_real_obs, dim_out=cfg.interp_dim,
                 )
             )
