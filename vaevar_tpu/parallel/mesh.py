@@ -122,6 +122,24 @@ def shard(x, mesh: Mesh, spec: P):
     return jax.device_put(x, NamedSharding(mesh, spec))
 
 
+def shard_experts(params, mesh: Mesh, num_experts: int):
+    """Expert-parallel placement for stacked-expert MoE params: any leaf
+    whose leading dim equals `num_experts` (the (E, in, out) expert banks
+    of zoo.MoEDense / ops/moe.py) shards that dim over the mesh's "ep"
+    axis; everything else replicates. GSPMD then computes each device's
+    expert slice locally and psums the dense one-hot combine — the
+    expert-parallel dispatch the reference's MoE never had (its
+    FusedExperts run all experts on one device, moe_utils.py:264-361)."""
+    def put(leaf):
+        if getattr(leaf, "ndim", 0) >= 1 and leaf.shape[0] == num_experts:
+            spec = P("ep", *([None] * (leaf.ndim - 1)))
+        else:
+            spec = P()
+        return jax.device_put(leaf, NamedSharding(mesh, spec))
+
+    return jax.tree.map(put, params)
+
+
 def host_value(x) -> "np.ndarray":
     """np.asarray that also works for process-spanning jax.Arrays (a mesh
     over multiple hosts, the v5p-16 north-star path): replicated arrays
