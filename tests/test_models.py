@@ -61,6 +61,52 @@ class TestLGUnet:
         assert not np.allclose(np.asarray(y1), np.asarray(y2))
 
     @pytest.mark.slow
+    @pytest.mark.sharded
+    @pytest.mark.slow
+    def test_tensor_parallel_lg_matches_replicated(self):
+        """Megatron-style TP of the LG stage (parallel/mesh.
+        shard_tensor_parallel): column-parallel qkv/fc1, row-parallel
+        proj/fc2 over a tp=8 mesh must reproduce the replicated forward
+        and gradients — GSPMD inserts the row-parallel psums. Placement-
+        only: zero model-code changes."""
+        from jax.sharding import NamedSharding, PartitionSpec as P
+        from jax.tree_util import keystr, tree_flatten_with_path
+
+        from vaevar_tpu.parallel import mesh as pmesh
+
+        cfg = cfgs.micro_config(img_size=(16, 32))
+        m = LGUnet(cfg)
+        x = jnp.asarray(
+            np.random.default_rng(5).normal(size=(1, 69, 16, 32)),
+            jnp.float32,
+        )
+        p = m.init(jax.random.PRNGKey(4), x)
+        y_ref = m.apply(p, x)
+
+        mesh = pmesh.make_mesh({"tp": 8})
+        p_tp = pmesh.shard_tensor_parallel(p, mesh)
+        lg_banks = [
+            leaf for path, leaf in tree_flatten_with_path(p_tp)[0]
+            if "lg" in keystr(path) and "kernel" in keystr(path)
+            and ("qkv" in keystr(path) or "fc" in keystr(path))
+        ]
+        assert lg_banks and all(
+            not leaf.sharding.is_fully_replicated for leaf in lg_banks
+        ), "LG dense kernels must actually shard over tp"
+        x_g = jax.device_put(x, NamedSharding(mesh, P()))
+        y = jax.jit(m.apply)(p_tp, x_g)
+        np.testing.assert_allclose(np.asarray(y), np.asarray(y_ref),
+                                   rtol=2e-5, atol=2e-5)
+
+        def loss(q, v):
+            return jnp.mean(m.apply(q, v) ** 2)
+
+        g_ref = jax.tree_util.tree_leaves(jax.grad(loss)(p, x))
+        g_tp = jax.tree_util.tree_leaves(jax.jit(jax.grad(loss))(p_tp, x_g))
+        for a, b in zip(g_ref, g_tp):
+            np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                       rtol=5e-4, atol=1e-5)
+
     def test_remat_matches(self):
         cfg = cfgs.tiny_config()
         x = jnp.asarray(

@@ -140,6 +140,38 @@ def shard_experts(params, mesh: Mesh, num_experts: int):
     return jax.tree.map(put, params)
 
 
+def shard_tensor_parallel(params, mesh: Mesh, scope: str = "lg"):
+    """Megatron-style tensor parallelism for the backbone's dense-heavy
+    LG stage (models/lgunet.py): qkv / MLP-fc1 kernels column-parallel
+    (output features over "tp"), attention-proj / MLP-fc2 kernels
+    row-parallel (input features over "tp"), everything else replicated.
+    GSPMD inserts the psums at the row-parallel boundaries. Leaves may
+    carry leading nn.scan depth axes, so specs index from the END.
+    `scope` limits the rules to param paths containing that substring
+    (the enc/dec stages' dim-96 layers are latency-bound and not worth
+    splitting, docs/PERF.md)."""
+    from jax.tree_util import keystr, tree_map_with_path
+
+    def put(path, leaf):
+        s = keystr(path)
+        nd = getattr(leaf, "ndim", 0)
+        spec = P()
+        if scope in s and nd >= 1:
+            lead2 = [None] * (nd - 2)
+            col_k = ("qkv" in s or "fc1" in s) and "kernel" in s and nd >= 2
+            col_b = ("qkv" in s or "fc1" in s) and "bias" in s
+            row_k = ("proj" in s or "fc2" in s) and "kernel" in s and nd >= 2
+            if col_k:
+                spec = P(*lead2, None, "tp")
+            elif col_b:
+                spec = P(*([None] * (nd - 1)), "tp")
+            elif row_k:
+                spec = P(*lead2, "tp", None)
+        return jax.device_put(leaf, NamedSharding(mesh, spec))
+
+    return tree_map_with_path(put, params)
+
+
 def host_value(x) -> "np.ndarray":
     """np.asarray that also works for process-spanning jax.Arrays (a mesh
     over multiple hosts, the v5p-16 north-star path): replicated arrays
