@@ -174,6 +174,65 @@ class TestParallel:
         )
         assert np.isfinite(float(m["loss"]))
 
+    @pytest.mark.slow
+    def test_tensor_parallel_train_step_matches_replicated(self):
+        """dp x tp training: params AND optimizer state sharded by
+        shard_tensor_parallel (optax mu/nu mirror the param tree paths,
+        so the same rules apply), batch over dp — two steps must
+        reproduce the unsharded loss/param trajectory and the LG kernels
+        must STAY tp-sharded through the adamw updates."""
+        from jax.sharding import NamedSharding, PartitionSpec as P
+        from jax.tree_util import keystr, tree_flatten_with_path
+
+        fcfg = cfgs.micro_config(
+            img_size=HW, inchans_list=(4, 13), outchans_list=(8, 26)
+        )
+        model = LGUnet(fcfg)
+        params = model.init(jax.random.PRNGKey(0), jnp.zeros((1, NC, *HW)))
+        init_fn, train_step = make_forecast_train_step(
+            model.apply, loss_type="LpLoss", lr=1e-3, total_steps=2,
+            out_shape=(2 * NC, *HW),
+        )
+        data = np.random.default_rng(7).normal(
+            size=(2, 8, NC, *HW)
+        ).astype(np.float32)
+
+        def run(mesh):
+            trainable, opt_state = init_fn(params)
+            if mesh is not None:
+                trainable = pmesh.shard_tensor_parallel(trainable, mesh)
+                opt_state = pmesh.shard_tensor_parallel(opt_state, mesh)
+            step_j = jax.jit(train_step)
+            losses = []
+            for s in range(2):
+                inp, tar = data[s], 0.9 * data[s]
+                if mesh is not None:
+                    inp = jax.device_put(inp, NamedSharding(mesh, P("dp")))
+                    tar = jax.device_put(tar, NamedSharding(mesh, P("dp")))
+                trainable, opt_state, loss = step_j(
+                    trainable, opt_state, inp, [tar]
+                )
+                losses.append(float(loss))
+            return losses, trainable
+
+        losses_ref, t_ref = run(None)
+        mesh = pmesh.make_mesh({"dp": 2, "tp": 4})
+        losses_tp, t_tp = run(mesh)
+        assert losses_tp == pytest.approx(losses_ref, rel=1e-5)
+        kernels = [
+            leaf for path, leaf in tree_flatten_with_path(t_tp)[0]
+            if "lg" in keystr(path) and "kernel" in keystr(path)
+            and ("qkv" in keystr(path) or "fc" in keystr(path))
+        ]
+        assert kernels and all(
+            not k.sharding.is_fully_replicated for k in kernels
+        ), "LG kernels must stay tp-sharded through updates"
+        ref_leaves = tree_flatten_with_path(t_ref)[0]
+        tp_leaves = tree_flatten_with_path(t_tp)[0]
+        for (_, a), (_, b) in zip(ref_leaves, tp_leaves):
+            np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                       rtol=5e-4, atol=5e-6)
+
     def test_spatially_sharded_forward_matches_single(self):
         devs = jax.devices()
         mesh = pmesh.make_mesh({"sh": 2, "sw": 4}, devs)
