@@ -214,9 +214,8 @@ def main():
     from vaevar_tpu import config as cfgs
 
     if args.micro:
-        dec_base = cfgs.micro_config(
-            img_size=shw, inchans_list=(2, 6), outchans_list=(13, 56)
-        )
+        # relbias like the real VAE_DECODER; matches convert_ckpt --micro
+        dec_base = cfgs.micro_vae_configs(img_size=shw)[1]
         flow_base = cfgs.micro_config(img_size=shw)
     else:
         dec_base, flow_base = fit_grid(VAE_DECODER, shw), fit_grid(FLOW_140, shw)
@@ -228,8 +227,10 @@ def main():
     decoder = LGUnet(dec_cfg)
     z0 = jnp.zeros(cfg.latent_shape, jnp.float32)
     dec_params = (
-        ckpt.restore(args.vae_ckpt) if args.vae_ckpt
-        else _init(decoder, z0, args.seed)
+        # full-VAE trees (run_train_vae.py output / converted reference
+        # VAE_lr ckpts) and decoder-only trees are both accepted
+        ckpt.vae_decoder_params(ckpt.restore(args.vae_ckpt))
+        if args.vae_ckpt else _init(decoder, z0, args.seed)
     )
 
     # remat flow blocks when the model runs INSIDE the 4D-Var cost: the

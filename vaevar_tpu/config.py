@@ -190,6 +190,18 @@ def micro_config(img_size=(16, 32), attn_type="rope", **overrides) -> LGUnetConf
     return LGUnetConfig(**kw)
 
 
+def micro_vae_configs(img_size=(16, 32)):
+    """Micro-scale (enc_cfg, dec_cfg) pair with the VAE_ENCODER/VAE_DECODER
+    topology (old-gen relbias, windowed LG stages): 69ch -> 16ch=mu||logvar,
+    latent 8ch -> 69ch. Used by scripts/convert_ckpt.py --micro and tests."""
+    enc = micro_config(
+        img_size=img_size, attn_type="relbias",
+        inchans_list=(13, 56), outchans_list=(2, 14),
+    )
+    dec = enc.replace(inchans_list=(2, 6), outchans_list=(13, 56))
+    return enc, dec
+
+
 def tiny_config(
     img_size=(32, 64), attn_type="rope", lg_full_attn_first=True
 ) -> LGUnetConfig:

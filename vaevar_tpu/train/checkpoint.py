@@ -90,3 +90,18 @@ def restore_train_state(
         with open(path + ".meta.json") as f:
             meta.update(json.load(f))
     return tree["params"], tree["opt_state"], meta
+
+
+def vae_decoder_params(tree):
+    """Decoder-only LGUnet params from a VAE checkpoint tree.
+
+    Accepts either a full :class:`~vaevar_tpu.models.vae.VAE` tree
+    (``{"params": {"enc": ..., "dec": ...}}`` — what ``run_train_vae.py``
+    saves as ``vae_latest`` and what ``port_torch.vae_params_from_torch``
+    emits, mirroring the reference's whole-``VAE_lr`` state_dict files,
+    da_4dvar.py:590-603) or an already-extracted decoder tree; the DA
+    engine only ever runs the decoder (da_4dvar.py:1186)."""
+    p = tree.get("params", tree) if isinstance(tree, dict) else tree
+    if isinstance(p, dict) and "enc" in p and "dec" in p:
+        return {"params": p["dec"]}
+    return tree

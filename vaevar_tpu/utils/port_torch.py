@@ -226,3 +226,27 @@ def vae_params_from_torch(state_dict, enc_cfg: LGUnetConfig,
     enc = lgunet_params_from_torch(state_dict, enc_cfg, prefix="enc.")
     dec = lgunet_params_from_torch(state_dict, dec_cfg, prefix="dec.")
     return {"params": {"enc": enc["params"], "dec": dec["params"]}}
+
+
+def reference_state_dict(obj) -> dict:
+    """Normalize a loaded reference ``.pth`` object to a flat state_dict.
+
+    Mirrors the reference's own loading quirks (da_4dvar.py:552-603):
+    training checkpoints wrap the weights as ``{"model": sd}`` (flow,
+    :576) or ``{"model": {"lgunet_all": sd}}`` (forecast, :557) while VAE
+    files are bare state_dicts (:592); DDP-saved trees carry a
+    ``module.`` key prefix (stripped, :560-562,579-581,595-597); the
+    trainer's ``max_logvar``/``min_logvar`` buffers are dropped
+    (:564,583,599)."""
+    sd = obj
+    for key in ("model", "lgunet_all"):
+        if isinstance(sd, dict) and isinstance(sd.get(key), dict):
+            sd = sd[key]
+    out = {}
+    for k, v in sd.items():
+        if k.startswith("module."):
+            k = k[len("module."):]
+        if k in ("max_logvar", "min_logvar"):
+            continue
+        out[k] = v
+    return out
