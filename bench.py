@@ -17,10 +17,12 @@ per cycle; vs_baseline = budget / measured (>1 means faster than target).
 Default run prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 
 `python bench.py --full` additionally times the sc4dvar 3D-Var cycle (CVT
-B^1/2 control, da_4dvar.py:1064-1177 config) and the vae4dvar da_win=6
+B^1/2 control, da_4dvar.py:1064-1177 config), the vae4dvar da_win=6
 4D-Var cycle (hourly flow-model rollout inside the cost,
-da_4dvar.py:1190-1194), printing one JSON line per metric (primary LAST)
-and writing all of them to bench_full.json for regression tracking.
+da_4dvar.py:1190-1194) at both grids, and one training step of each
+shipped trainer CLI (VAE-NMC and Possloss forecast, at their CLI-default
+configs), printing one JSON line per metric (primary LAST) and writing
+all of them to output/bench_full.json for regression tracking.
 Note the budget (hence vs_baseline) is defined for the 3D-Var config of
 record; the win6 window solve does ~25x the model work per cycle
 (4 x 10 L-BFGS iterations x 5 extra flow steps fwd+bwd), so its
@@ -313,6 +315,143 @@ def bench_vae4dvar_4dvar_win6_140():
     }
 
 
+def _guard_hbm(compiled, name: str, limit_gib: float = 12.5) -> bool:
+    """House rule: never EXECUTE a new program whose temp+output HBM
+    exceeds ~12.5 GiB (params live beside it; a worker OOM kills the axon
+    tunnel for hours — docs/PERF.md round-2 postmortem). True = safe."""
+    try:
+        mem = compiled.memory_analysis()
+        gib = (mem.temp_size_in_bytes + mem.output_size_in_bytes) / 2**30
+    except AttributeError:
+        return True  # CPU backend exposes no analysis; nothing to OOM
+    if gib > limit_gib:
+        print(f"# {name}: SKIPPED, program hbm {gib:.1f} GiB > {limit_gib}",
+              file=sys.stderr)
+        return False
+    return True
+
+
+def _tree_sync(tree):
+    return float(jnp.sum(jax.tree_util.tree_leaves(tree)[0]))
+
+
+def bench_vae_train_step(micro: bool = False):
+    """VAE-trainer step at the shipped CLI defaults (run_train_vae.py:
+    grid 128x256, batch 8, bf16 models, nmc_steps=4): NMC error sample
+    (4 stop-grad fengwu rollouts, model/model.py:581-596 semantics) + VAE
+    fwd/bwd + Adam. No vs_baseline: the reference only ever logged its
+    train losses/iter meters (SURVEY.md section 6), publishing nothing.
+    `micro=True` shrinks to the CPU-testable topology (tests only)."""
+    from vaevar_tpu.config import FLOW_140, VAE_DECODER, VAE_ENCODER, \
+        micro_config
+    from vaevar_tpu.models.lgunet import LGUnet
+    from vaevar_tpu.models.vae import VAE
+    from vaevar_tpu.train.vae_trainer import make_vae_train_step
+    from vaevar_tpu.utils.fast_init import fast_init
+
+    dtype = jnp.bfloat16
+    if micro:
+        hw, batch = (16, 32), 2
+        flow_cfg = micro_config(img_size=hw, attn_type="relbias", dtype=dtype)
+        enc_cfg = flow_cfg.replace(outchans_list=(4, 12, 12, 12, 12, 12))
+        dec_cfg = flow_cfg.replace(inchans_list=(2, 6, 6, 6, 6, 6),
+                                   outchans_list=(4, 13, 13, 13, 13, 13))
+    else:
+        hw, batch = (128, 256), 8
+        flow_cfg = FLOW_140.replace(dtype=dtype)
+        enc_cfg = VAE_ENCODER.replace(dtype=dtype)
+        dec_cfg = VAE_DECODER.replace(dtype=dtype)
+    flow = LGUnet(flow_cfg)
+    fengwu_params = jax.device_put(
+        fast_init(flow, jnp.zeros((1, 69, *hw)), seed=1)
+    )
+    vae = VAE(enc_cfg, dec_cfg)
+    init_fn, train_step = make_vae_train_step(vae, flow.apply, latent_hw=hw)
+
+    rr = np.random.default_rng(0)
+    frames = jnp.asarray(
+        rr.normal(size=(batch, 5, 69, *hw)), jnp.float32
+    )  # already-normalized frames, like the shipped loader emits
+    rng = jax.random.PRNGKey(0)
+    params, opt_state = init_fn(rng, frames, fengwu_params)
+    params = jax.device_put(params)
+
+    step = jax.jit(train_step, donate_argnums=(0, 1))
+    compiled = step.lower(params, opt_state, fengwu_params, frames, rng
+                          ).compile()
+    if not _guard_hbm(compiled, "vae_train_step"):
+        return None
+    params, opt_state, m = compiled(params, opt_state, fengwu_params,
+                                    frames, rng)
+    float(m["loss"])  # fence warmup
+    n = 5
+    t0 = time.time()
+    for _ in range(n):
+        params, opt_state, m = compiled(params, opt_state, fengwu_params,
+                                        frames, rng)
+    float(m["loss"])
+    _tree_sync(params)
+    dt = (time.time() - t0) / n
+    return {
+        "metric": f"sec_per_vae_nmc_train_step_b{batch}_{hw[0]}x{hw[1]}",
+        "value": round(dt, 4),
+        "unit": "s",
+        "vs_baseline": None,
+    }
+
+
+def bench_forecast_train_step(micro: bool = False):
+    """Forecast-trainer step at the shipped CLI defaults
+    (run_train_forecast.py: grid 128x256, batch 4, Possloss, bf16 FLOW_140):
+    fwd/bwd + AdamW with learnable clamped logvar bounds
+    (model/model.py:160-207 semantics). No vs_baseline (nothing published).
+    `micro=True` shrinks to the CPU-testable topology (tests only)."""
+    from vaevar_tpu.config import FLOW_140, micro_config
+    from vaevar_tpu.models.lgunet import LGUnet
+    from vaevar_tpu.train.forecast_trainer import make_forecast_train_step
+    from vaevar_tpu.utils.fast_init import fast_init
+
+    if micro:
+        hw, batch = (16, 32), 2
+        cfg = micro_config(img_size=hw, dtype=jnp.bfloat16)
+    else:
+        hw, batch = (128, 256), 4
+        cfg = FLOW_140.replace(dtype=jnp.bfloat16)
+    model = LGUnet(cfg)
+    model_params = jax.device_put(
+        fast_init(model, jnp.zeros((1, 69, *hw)), seed=0)
+    )
+    out_c = 2 * sum(cfg.inchans_list)
+    init_fn, train_step = make_forecast_train_step(
+        model.apply, loss_type="Possloss", out_shape=(out_c, *hw)
+    )
+    trainable, opt_state = init_fn(model_params)
+
+    rr = np.random.default_rng(0)
+    inp = jnp.asarray(rr.normal(size=(batch, 69, *hw)), jnp.float32)
+    tars = [jnp.asarray(rr.normal(size=(batch, 69, *hw)), jnp.float32)]
+
+    step = jax.jit(train_step, donate_argnums=(0, 1))
+    compiled = step.lower(trainable, opt_state, inp, tars).compile()
+    if not _guard_hbm(compiled, "forecast_train_step"):
+        return None
+    trainable, opt_state, loss = compiled(trainable, opt_state, inp, tars)
+    float(loss)
+    n = 5
+    t0 = time.time()
+    for _ in range(n):
+        trainable, opt_state, loss = compiled(trainable, opt_state, inp, tars)
+    float(loss)
+    _tree_sync(trainable)
+    dt = (time.time() - t0) / n
+    return {
+        "metric": f"sec_per_forecast_train_step_b{batch}_{hw[0]}x{hw[1]}",
+        "value": round(dt, 4),
+        "unit": "s",
+        "vs_baseline": None,
+    }
+
+
 def main():
     wait_for_backend()  # transient tunnel outage -> late run, not rc=1
 
@@ -326,6 +465,9 @@ def main():
         results.append(bench_sc4dvar_3dvar())
         results.append(bench_vae4dvar_4dvar_win6())
         results.append(bench_vae4dvar_4dvar_win6_140())
+        results.append(bench_vae_train_step())
+        results.append(bench_forecast_train_step())
+        results = [r for r in results if r is not None]  # hbm-guard skips
     results.append(bench_vae4dvar_3dvar())  # primary metric LAST
 
     if full:

@@ -60,3 +60,24 @@ class TestWaitForBackend:
         monkeypatch.setattr(bench.subprocess, "run", flaky_run)
         bench.wait_for_backend(total_s=60.0, poll_s=0.2)
         assert state["n"] == 2
+
+
+@pytest.mark.slow
+class TestTrainStepBenches:
+    """The --full training-step secondaries must construct, compile, and
+    report at the micro topology — a bug here would redden the TPU bench
+    artifact (bench.py is the round's perf record)."""
+
+    def test_vae_train_step_micro(self):
+        r = bench.bench_vae_train_step(micro=True)
+        assert r is not None
+        assert r["metric"].startswith("sec_per_vae_nmc_train_step_b2")
+        assert r["value"] > 0 and r["unit"] == "s"
+        assert r["vs_baseline"] is None
+
+    def test_forecast_train_step_micro(self):
+        r = bench.bench_forecast_train_step(micro=True)
+        assert r is not None
+        assert r["metric"].startswith("sec_per_forecast_train_step_b2")
+        assert r["value"] > 0 and r["unit"] == "s"
+        assert r["vs_baseline"] is None
