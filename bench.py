@@ -251,14 +251,14 @@ def bench_vae4dvar_4dvar_win6():
     c, to_state, parts = cost_mod.make_vae4dvar_cost_window_reduced(
         decoder.apply, flow_apply=flow.apply, da_win=6,
     )
-    # production dispatch granularity for windows (cycler.py:152): one
-    # quasi-Newton iteration per program — a fused Nit*iters window solve
-    # runs for minutes in one XLA program and trips the TPU-worker
-    # watchdog (docs/PERF.md)
+    # production window dispatch granularity (DAConfig.window_dispatch via
+    # cycler._window_dispatch_kw; probe: prof_win6_dispatch.py)
+    from vaevar_tpu.da.solver import window_dispatch_kwargs
+
     solver = VariationalSolver(c, to_state, parts,
                                lbfgs_iters=cfg.lbfgs_iters,
                                history=cfg.lbfgs_history,
-                               segment_dispatch=True, iters_per_dispatch=1)
+                               **window_dispatch_kwargs(cfg.window_dispatch))
 
     def one_cycle(full):
         bundle = reduce(full)
@@ -293,10 +293,12 @@ def bench_vae4dvar_4dvar_win6_140():
     c, to_state, parts = cost_mod.make_vae4dvar_cost_window_reduced(
         decoder.apply, flow_apply=flow.apply, da_win=6,
     )
+    from vaevar_tpu.da.solver import window_dispatch_kwargs
+
     solver = VariationalSolver(c, to_state, parts,
                                lbfgs_iters=cfg.lbfgs_iters,
                                history=cfg.lbfgs_history,
-                               segment_dispatch=True, iters_per_dispatch=1)
+                               **window_dispatch_kwargs(cfg.window_dispatch))
 
     def one_cycle(full):
         bundle = reduce(full)
@@ -357,10 +359,13 @@ def bench_vae_train_step(micro: bool = False):
         dec_cfg = flow_cfg.replace(inchans_list=(2, 6, 6, 6, 6, 6),
                                    outchans_list=(4, 13, 13, 13, 13, 13))
     else:
+        # remat=True matches the CLI default (--remat): without it the
+        # batch-8 step holds 56 GiB of HLO temp — 3.5x one v5e chip's HBM
+        # (measured via the AOT compiler's memory analysis, docs/PERF.md)
         hw, batch = (128, 256), 8
-        flow_cfg = FLOW_140.replace(dtype=dtype)
-        enc_cfg = VAE_ENCODER.replace(dtype=dtype)
-        dec_cfg = VAE_DECODER.replace(dtype=dtype)
+        flow_cfg = FLOW_140.replace(dtype=dtype, remat=True)
+        enc_cfg = VAE_ENCODER.replace(dtype=dtype, remat=True)
+        dec_cfg = VAE_DECODER.replace(dtype=dtype, remat=True)
     flow = LGUnet(flow_cfg)
     fengwu_params = jax.device_put(
         fast_init(flow, jnp.zeros((1, 69, *hw)), seed=1)
@@ -416,7 +421,7 @@ def bench_forecast_train_step(micro: bool = False):
         cfg = micro_config(img_size=hw, dtype=jnp.bfloat16)
     else:
         hw, batch = (128, 256), 4
-        cfg = FLOW_140.replace(dtype=jnp.bfloat16)
+        cfg = FLOW_140.replace(dtype=jnp.bfloat16, remat=True)
     model = LGUnet(cfg)
     model_params = jax.device_put(
         fast_init(model, jnp.zeros((1, 69, *hw)), seed=0)
@@ -462,11 +467,24 @@ def main():
     full = "--full" in sys.argv[1:]
     results = []
     if full:
-        results.append(bench_sc4dvar_3dvar())
-        results.append(bench_vae4dvar_4dvar_win6())
-        results.append(bench_vae4dvar_4dvar_win6_140())
-        results.append(bench_vae_train_step())
-        results.append(bench_forecast_train_step())
+        # one crashing SECONDARY must not void the whole artifact (a
+        # compile-time OOM raises from .compile() before _guard_hbm can
+        # inspect the program — that turned a 70-min run into rc=1 once);
+        # degrade to a skip note and keep the remaining metrics
+        secondaries = [
+            bench_sc4dvar_3dvar,
+            bench_vae4dvar_4dvar_win6,
+            bench_vae4dvar_4dvar_win6_140,
+            bench_vae_train_step,
+            bench_forecast_train_step,
+        ]
+        for fn in secondaries:
+            try:
+                results.append(fn())
+            except Exception as e:  # noqa: BLE001 — secondary metric only
+                msg = str(e).splitlines()[0] if str(e) else type(e).__name__
+                print(f"# {fn.__name__}: SKIPPED ({msg[:200]})",
+                      file=sys.stderr)
         results = [r for r in results if r is not None]  # hbm-guard skips
     results.append(bench_vae4dvar_3dvar())  # primary metric LAST
 

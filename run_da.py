@@ -84,6 +84,13 @@ def arg_parser():
                    "with headroom 'block'/'step'/'none' trade memory for "
                    "less backward recompute (probe: scripts/profiling/"
                    "prof_win6_variants.py)")
+    p.add_argument("--window_dispatch", type=str, default="iter",
+                   choices=["iter", "segment", "fused"],
+                   help="dispatch granularity of the da_win>1 solve "
+                   "(identical trajectory): one iteration / one outer "
+                   "segment / the whole solve per XLA program. 'fused' is "
+                   "honored only on the reduced window quadratic (probe: "
+                   "scripts/profiling/prof_win6_dispatch.py)")
     p.add_argument("--no_prefetch", action="store_true",
                    help="disable the obs-prefetch worker thread (serial "
                    "obs read -> solve loop, the reference's structure)")
@@ -191,6 +198,7 @@ def main():
         init_tp=args.init_tp,
         save_interval=args.save_interval,
         window_step_checkpoint=args.win_remat in ("both", "step"),
+        window_dispatch=args.window_dispatch,
         latent_shape=(1, 8 if args.micro else 32, *shw),
         grid_hw=hw,
         solver_hw=shw,

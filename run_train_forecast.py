@@ -50,6 +50,11 @@ def arg_parser():
     p.add_argument("--bf16", action=argparse.BooleanOptionalAction,
                    default=True,
                    help="bf16 compute (default on; --no-bf16 for f32)")
+    p.add_argument("--remat", action=argparse.BooleanOptionalAction,
+                   default=True,
+                   help="jax.checkpoint each block (default on — keeps the "
+                   "train step inside one v5e chip's HBM; --no-remat trades "
+                   "memory for speed on big-HBM parts)")
     p.add_argument("--log_every", type=int, default=10)
     return p.parse_args()
 
@@ -123,7 +128,7 @@ def main():
             yield np.stack(inps), [np.stack(ts) for ts in tars]
 
     base = cfgs.micro_config(img_size=hw) if args.micro else FLOW_140.replace(
-        img_size=hw
+        img_size=hw, remat=args.remat
     )
     model_cfg = base.replace(dtype=dtype)
     model = LGUnet(model_cfg)

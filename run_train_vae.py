@@ -34,6 +34,12 @@ def arg_parser():
     p.add_argument("--bf16", action=argparse.BooleanOptionalAction,
                    default=True,
                    help="bf16 compute (default on; --no-bf16 for f32)")
+    p.add_argument("--remat", action=argparse.BooleanOptionalAction,
+                   default=True,
+                   help="jax.checkpoint each block (default on: the batch-8 "
+                   "step without it holds ~56 GiB of HLO temp — over one "
+                   "v5e chip's HBM; --no-remat trades memory for speed on "
+                   "big-HBM parts)")
     p.add_argument("--micro", action="store_true",
                    help="small model configs for fast CPU smoke runs")
     p.add_argument("--fast_init", action="store_true",
@@ -88,9 +94,12 @@ def main():
         dec_cfg = flow_cfg.replace(inchans_list=(2, 6, 6, 6, 6, 6),
                                    outchans_list=(4, 13, 13, 13, 13, 13))
     else:
-        flow_cfg = FLOW_140.replace(img_size=hw, dtype=dtype)
-        enc_cfg = VAE_ENCODER.replace(img_size=hw, dtype=dtype)
-        dec_cfg = VAE_DECODER.replace(img_size=hw, dtype=dtype)
+        flow_cfg = FLOW_140.replace(img_size=hw, dtype=dtype,
+                                    remat=args.remat)
+        enc_cfg = VAE_ENCODER.replace(img_size=hw, dtype=dtype,
+                                      remat=args.remat)
+        dec_cfg = VAE_DECODER.replace(img_size=hw, dtype=dtype,
+                                      remat=args.remat)
     flow = LGUnet(flow_cfg)
     if args.fengwu_ckpt:
         fengwu_params = ckpt.restore(args.fengwu_ckpt)

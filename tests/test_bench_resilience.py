@@ -62,6 +62,48 @@ class TestWaitForBackend:
         assert state["n"] == 2
 
 
+class TestSecondarySkip:
+    """A crashing SECONDARY metric must degrade to a stderr skip note and
+    keep the rest of the --full artifact (a compile-time OOM raised from
+    .compile() once voided a 70-minute TPU run to rc=1)."""
+
+    def test_full_survives_secondary_crash(self, monkeypatch, tmp_path,
+                                           capsys):
+        def ok(name):
+            return lambda: {"metric": name, "value": 1.0, "unit": "s",
+                            "vs_baseline": None}
+
+        def boom():
+            raise RuntimeError("XLA:TPU compile permanent error. Ran out "
+                               "of memory in memory space hbm.")
+
+        monkeypatch.setattr(bench, "wait_for_backend", lambda: None)
+        monkeypatch.setattr(bench, "bench_sc4dvar_3dvar", ok("sc"))
+        monkeypatch.setattr(bench, "bench_vae4dvar_4dvar_win6", ok("w6"))
+        monkeypatch.setattr(bench, "bench_vae4dvar_4dvar_win6_140",
+                            lambda: None)  # hbm-guard skip path
+        monkeypatch.setattr(bench, "bench_vae_train_step", boom)
+        monkeypatch.setattr(bench, "bench_forecast_train_step", ok("fc"))
+        monkeypatch.setattr(bench, "bench_vae4dvar_3dvar", ok("primary"))
+        monkeypatch.setattr(bench.sys, "argv", ["bench.py", "--full"])
+        monkeypatch.setattr(bench.os.path, "abspath",
+                            lambda _: str(tmp_path / "bench.py"))
+
+        bench.main()
+
+        out = capsys.readouterr()
+        got = [bench.json.loads(line)["metric"]
+               for line in out.out.strip().splitlines()]
+        assert got == ["sc", "w6", "fc", "primary"]  # primary LAST, crash+
+        # guard-skip dropped, everything else kept
+        assert "boom: SKIPPED" in out.err  # skip note names the metric fn
+        assert "Ran out of memory" in out.err
+        import json as _json
+
+        saved = _json.load(open(tmp_path / "output" / "bench_full.json"))
+        assert [r["metric"] for r in saved] == got
+
+
 @pytest.mark.slow
 class TestTrainStepBenches:
     """The --full training-step secondaries must construct, compile, and

@@ -542,6 +542,61 @@ class TestReducedWindowCost:
         nrel = np.linalg.norm(g_on - g_off) / np.linalg.norm(g_off)
         assert nrel < 1e-5, nrel
 
+    def test_window_dispatch_modes_identical_trajectory(self):
+        """DAConfig.window_dispatch (run_da --window_dispatch) only changes
+        XLA program granularity: per-iteration, per-segment, and fused
+        solves must return the same analysis (L-BFGS state continuation)."""
+        from vaevar_tpu.da.solver import VariationalSolver
+
+        da_win = 2
+        dec_apply, flow_apply, bundle, params, z, low = self._setup(da_win)
+        red = cost_mod.reduce_obs_window(bundle, low)
+        c, ts, parts = cost_mod.make_vae4dvar_cost_window_reduced(
+            dec_apply, flow_apply, da_win=da_win)
+
+        kws = {
+            "iter": dict(segment_dispatch=True, iters_per_dispatch=1),
+            "segment": dict(segment_dispatch=True, iters_per_dispatch=None),
+            "fused": {},
+        }
+        xas = {}
+        for mode, kw in kws.items():
+            s = VariationalSolver(c, ts, parts, lbfgs_iters=4, history=4,
+                                  **kw)
+            _, xa, _ = s.solve(z, red, params, nit=2, gt=None, verbose=False)
+            xas[mode] = np.asarray(xa)
+        np.testing.assert_allclose(xas["segment"], xas["iter"], atol=1e-5)
+        np.testing.assert_allclose(xas["fused"], xas["iter"], atol=1e-5)
+
+    def test_cycler_window_dispatch_mapping(self):
+        """_window_dispatch_kw: 3D-Var ignores the knob; 'fused' falls back
+        to per-iteration dispatch when the cost is NOT reducible (full-grid
+        window programs run minutes and trip the worker watchdog)."""
+        from vaevar_tpu.config import DAConfig
+        from vaevar_tpu.da.cycler import CycledDA
+
+        class Dummy:
+            _window_dispatch_kw = CycledDA._window_dispatch_kw
+
+        d = Dummy()
+        d.cfg = DAConfig(da_win=1, window_dispatch="fused")
+        d._reducible = True
+        assert d._window_dispatch_kw() == {}
+
+        d.cfg = DAConfig(da_win=6, window_dispatch="iter")
+        assert d._window_dispatch_kw() == {
+            "segment_dispatch": True, "iters_per_dispatch": 1}
+
+        d.cfg = DAConfig(da_win=6, window_dispatch="segment")
+        assert d._window_dispatch_kw() == {
+            "segment_dispatch": True, "iters_per_dispatch": None}
+
+        d.cfg = DAConfig(da_win=6, window_dispatch="fused")
+        assert d._window_dispatch_kw() == {}
+        d._reducible = False  # e.g. real obs: full windowed cost
+        assert d._window_dispatch_kw() == {
+            "segment_dispatch": True, "iters_per_dispatch": 1}
+
     def test_resample_gather_matches_resize_composition(self):
         """S = down∘up as an index table equals actually composing the
         torch-convention nearest resizes (the identity only at integer

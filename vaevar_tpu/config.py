@@ -254,6 +254,17 @@ class DAConfig:
     # segment program fits comfortably (probe:
     # scripts/profiling/prof_win6_variants.py, run_da --win_remat)
     window_step_checkpoint: bool = True
+    # dispatch granularity of the da_win>1 solve (identical optimizer
+    # trajectory at every setting — L-BFGS state continuation):
+    #   "iter"    one quasi-Newton iteration per XLA program (safest: a
+    #             full-grid window cost runs minutes per eval and a long
+    #             program trips the TPU-worker watchdog, docs/PERF.md)
+    #   "segment" one outer segment (lbfgs_iters) per program
+    #   "fused"   whole Nit x iters solve in ONE program — only sane on
+    #             the REDUCED window quadratic (~18 s device time); saves
+    #             all per-dispatch tunnel round-trips
+    # (probe: scripts/profiling/prof_win6_dispatch.py)
+    window_dispatch: str = "iter"
 
     def replace(self, **kw) -> "DAConfig":
         return dataclasses.replace(self, **kw)

@@ -208,7 +208,7 @@ class CycledDA:
             return VariationalSolver(
                 c, to_state, parts, lbfgs_iters=cfg.lbfgs_iters,
                 history=cfg.lbfgs_history, mesh=self.mesh,
-                segment_dispatch=cfg.da_win > 1, iters_per_dispatch=1,
+                **self._window_dispatch_kw(),
             )
         if cfg.da_mode == "sc4dvar":
             assert self.cvt is not None
@@ -241,9 +241,19 @@ class CycledDA:
             return VariationalSolver(
                 c, to_state, parts, lbfgs_iters=min(cfg.lbfgs_iters, 5),
                 history=cfg.lbfgs_history, mesh=self.mesh,
-                segment_dispatch=cfg.da_win > 1, iters_per_dispatch=1,
+                **self._window_dispatch_kw(),
             )
         return None
+
+    def _window_dispatch_kw(self):
+        """Solver dispatch granularity for da_win>1 (DAConfig.window_dispatch;
+        3D-Var always runs the fused single-program solve)."""
+        from vaevar_tpu.da.solver import window_dispatch_kwargs
+
+        if self.cfg.da_win <= 1:
+            return {}
+        return window_dispatch_kwargs(self.cfg.window_dispatch,
+                                      self._reducible)
 
     # --- resume machinery -----------------------------------------------
 

@@ -33,6 +33,22 @@ from vaevar_tpu.da.lbfgs import lbfgs_init_state, lbfgs_minimize
 from vaevar_tpu.utils import metrics as M
 
 
+def window_dispatch_kwargs(mode: str, reducible: bool = True) -> dict:
+    """VariationalSolver kwargs for a DAConfig.window_dispatch mode
+    ("iter" | "segment" | "fused") — identical optimizer trajectory at
+    every granularity. "fused" is only honored on the reduced window
+    quadratic: a full-grid window cost runs minutes per XLA program and
+    trips the TPU-worker watchdog (docs/PERF.md)."""
+    if mode == "fused" and not reducible:
+        mode = "iter"
+    if mode == "fused":
+        return {}
+    return {
+        "segment_dispatch": True,
+        "iters_per_dispatch": 1 if mode == "iter" else None,
+    }
+
+
 @dataclass
 class SolveDiagnostics:
     wrmse: list = field(default_factory=list)  # per outer iter, (69,)
