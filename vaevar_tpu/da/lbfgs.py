@@ -59,53 +59,85 @@ def lbfgs_init_state(x0, history: int = 10, max_linesearch_steps: int = 25):
     )
 
 
+def _tree_max_abs(tree):
+    return optax.tree_utils.tree_norm(tree, ord=jnp.inf)
+
+
 def lbfgs_minimize(
     fun: Callable,
     x0,
     max_iters: int = 10,
     history: int = 10,
     tol: float = 0.0,
+    tolerance_grad: float = 1e-7,
+    tolerance_change: float = 1e-9,
     max_linesearch_steps: int = 25,
     init_state=None,
 ) -> LBFGSResult:
     """Minimize `fun` from `x0`. Runs exactly like torch LBFGS semantics:
     up to `max_iters` quasi-Newton iterations with a strong-Wolfe zoom line
-    search, stopping early on gradient norm <= tol. Jit-safe.
+    search and torch.optim.LBFGS's stopping rules (defaults match torch):
 
-    With `init_state` (from a previous result's `.state`), continues the
-    SAME minimization — curvature pairs, step scaling, and the cached
-    (value, grad) at x0 carry over, and `max_iters` more iterations run.
+    - entry/per-iteration optimality: max|grad| <= tolerance_grad
+      (torch's `opt_cond`; checked before iterating, so a converged
+      continued state no-ops like torch's `.step()` does);
+    - lack of progress: max|d*t| <= tolerance_change or
+      |loss - prev_loss| < tolerance_change, checked after each accepted
+      step WITHIN a call (like torch, a new call re-tries regardless);
+    - plus the legacy `tol` on the gradient 2-norm (0 = disabled).
+
+    Jit-safe. With `init_state` (from a previous result's `.state`),
+    continues the SAME minimization — curvature pairs, step scaling, and
+    the cached (value, grad) at x0 carry over, and up to `max_iters` more
+    iterations run.
     """
     opt = _make_opt(history, max_linesearch_steps)
     value_and_grad = optax.value_and_grad_from_state(fun)
 
     def step(carry):
-        x, state, _ = carry
+        x, state, _, _ = carry
         value, grad = value_and_grad(x, state=state)
         updates, state = opt.update(
             grad, state, x, value=value, grad=grad, value_fn=fun
         )
         x = optax.apply_updates(x, updates)
-        return x, state, grad
+        # progress measures for torch's tolerance_change checks: the
+        # linesearch cached the accepted point's value in the new state
+        step_max = _tree_max_abs(updates)
+        dloss = jnp.abs(optax.tree_utils.tree_get(state, "value") - value)
+        return x, state, step_max, dloss
 
     if init_state is None:
         init_state = opt.init(x0)
     it0 = optax.tree_utils.tree_get(init_state, "count")
 
     def cond(carry):
-        x, state, grad = carry
+        x, state, step_max, dloss = carry
         it = optax.tree_utils.tree_get(state, "count")
-        gnorm = optax.tree_utils.tree_norm(grad)
-        return (it == it0) | ((it < it0 + max_iters) & (gnorm > tol))
+        # grad at the CURRENT x: the linesearch cache (valid whenever
+        # it > 0; a fresh state caches zeros, so force the first
+        # iteration of a fresh minimization like the old behavior —
+        # torch would pay one closure eval to check the true entry grad)
+        g = optax.tree_utils.tree_get(state, "grad")
+        opt_cond = (_tree_max_abs(g) <= tolerance_grad) & (it > 0)
+        no_progress = (it != it0) & (
+            (step_max <= tolerance_change) | (dloss < tolerance_change)
+        )
+        gnorm_ok = (it == it0) | (optax.tree_utils.tree_norm(g) > tol)
+        return (it < it0 + max_iters) & ~opt_cond & ~no_progress & gnorm_ok
 
-    zero_grad = jax.tree_util.tree_map(jnp.zeros_like, x0)
-    x, state, grad = jax.lax.while_loop(cond, step, (x0, init_state, zero_grad))
+    inf = jnp.asarray(jnp.inf, jnp.float32)
+    x, state, _, _ = jax.lax.while_loop(
+        cond, step, (x0, init_state, inf, inf)
+    )
     return LBFGSResult(
         x=x,
         # the linesearch already evaluated f at the accepted point; reuse it
         # instead of paying one more decoder forward per segment
         value=optax.tree_utils.tree_get(state, "value"),
-        grad_norm=optax.tree_utils.tree_norm(grad),
+        grad_norm=optax.tree_utils.tree_norm(
+            optax.tree_utils.tree_get(state, "grad")
+        ),
         n_iters=optax.tree_utils.tree_get(state, "count"),
         state=state,
     )
