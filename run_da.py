@@ -84,12 +84,14 @@ def arg_parser():
                    "with headroom 'block'/'step'/'none' trade memory for "
                    "less backward recompute (probe: scripts/profiling/"
                    "prof_win6_variants.py)")
-    p.add_argument("--window_dispatch", type=str, default="iter",
+    p.add_argument("--window_dispatch", type=str, default="fused",
                    choices=["iter", "segment", "fused"],
                    help="dispatch granularity of the da_win>1 solve "
                    "(identical trajectory): one iteration / one outer "
-                   "segment / the whole solve per XLA program. 'fused' is "
-                   "honored only on the reduced window quadratic (probe: "
+                   "segment / the whole solve per XLA program. 'fused' "
+                   "(default; 28%% faster on v5e) is honored only on the "
+                   "reduced window quadratic — full-grid window costs "
+                   "fall back to per-iteration dispatch (probe: "
                    "scripts/profiling/prof_win6_dispatch.py)")
     p.add_argument("--no_prefetch", action="store_true",
                    help="disable the obs-prefetch worker thread (serial "

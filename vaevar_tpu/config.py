@@ -260,11 +260,15 @@ class DAConfig:
     #             full-grid window cost runs minutes per eval and a long
     #             program trips the TPU-worker watchdog, docs/PERF.md)
     #   "segment" one outer segment (lbfgs_iters) per program
-    #   "fused"   whole Nit x iters solve in ONE program — only sane on
-    #             the REDUCED window quadratic (~18 s device time); saves
-    #             all per-dispatch tunnel round-trips
-    # (probe: scripts/profiling/prof_win6_dispatch.py)
-    window_dispatch: str = "iter"
+    #   "fused"   whole Nit x iters solve in ONE program — only honored on
+    #             the REDUCED window quadratic (~13 s device time); saves
+    #             all per-dispatch round-trips
+    # Measured (v5e, win6 reduced, prof_win6_dispatch.py): iter 17.45 s,
+    # segment 16.58 s, fused 12.62 s per solve at 6.5-6.8 GiB — fused is
+    # 28% faster and far under the worker watchdog, so it is the default;
+    # non-reduced window costs (real obs) fall back to per-iteration
+    # dispatch automatically.
+    window_dispatch: str = "fused"
 
     def replace(self, **kw) -> "DAConfig":
         return dataclasses.replace(self, **kw)
