@@ -338,12 +338,15 @@ def _tree_sync(tree):
 
 
 def bench_vae_train_step(micro: bool = False):
-    """VAE-trainer step at the shipped CLI defaults (run_train_vae.py:
-    grid 128x256, batch 8, bf16 models, nmc_steps=4): NMC error sample
-    (4 stop-grad fengwu rollouts, model/model.py:581-596 semantics) + VAE
-    fwd/bwd + Adam. No vs_baseline: the reference only ever logged its
-    train losses/iter meters (SURVEY.md section 6), publishing nothing.
-    `micro=True` shrinks to the CPU-testable topology (tests only)."""
+    """VAE-trainer step (run_train_vae.py config: grid 128x256, bf16 +
+    remat models, nmc_steps=4) at batch 2 — the largest per-chip batch
+    that fits one v5e next to the params (the CLI-default GLOBAL batch 8
+    assumes a dp mesh; batch 8 on one chip needs >15.75 GiB even
+    remat'd). NMC error sample (4 stop-grad fengwu rollouts,
+    model/model.py:581-596 semantics) + VAE fwd/bwd + Adam. No
+    vs_baseline: the reference only ever logged its train losses/iter
+    meters (SURVEY.md section 6), publishing nothing. `micro=True`
+    shrinks to the CPU-testable topology (tests only)."""
     from vaevar_tpu.config import FLOW_140, VAE_DECODER, VAE_ENCODER, \
         micro_config
     from vaevar_tpu.models.lgunet import LGUnet
@@ -362,7 +365,7 @@ def bench_vae_train_step(micro: bool = False):
         # remat=True matches the CLI default (--remat): without it the
         # batch-8 step holds 56 GiB of HLO temp — 3.5x one v5e chip's HBM
         # (measured via the AOT compiler's memory analysis, docs/PERF.md)
-        hw, batch = (128, 256), 8
+        hw, batch = (128, 256), 2
         flow_cfg = FLOW_140.replace(dtype=dtype, remat=True)
         enc_cfg = VAE_ENCODER.replace(dtype=dtype, remat=True)
         dec_cfg = VAE_DECODER.replace(dtype=dtype, remat=True)
@@ -406,11 +409,13 @@ def bench_vae_train_step(micro: bool = False):
 
 
 def bench_forecast_train_step(micro: bool = False):
-    """Forecast-trainer step at the shipped CLI defaults
-    (run_train_forecast.py: grid 128x256, batch 4, Possloss, bf16 FLOW_140):
-    fwd/bwd + AdamW with learnable clamped logvar bounds
-    (model/model.py:160-207 semantics). No vs_baseline (nothing published).
-    `micro=True` shrinks to the CPU-testable topology (tests only)."""
+    """Forecast-trainer step (run_train_forecast.py config: grid 128x256,
+    Possloss, bf16 + remat FLOW_140) at batch 2 — batch 4 (the CLI-
+    default GLOBAL batch, meant for a dp mesh) is 13.0 GiB of program
+    HBM on one chip, over the 12.5 GiB execution guard: fwd/bwd + AdamW
+    with learnable clamped logvar bounds (model/model.py:160-207
+    semantics). No vs_baseline (nothing published). `micro=True` shrinks
+    to the CPU-testable topology (tests only)."""
     from vaevar_tpu.config import FLOW_140, micro_config
     from vaevar_tpu.models.lgunet import LGUnet
     from vaevar_tpu.train.forecast_trainer import make_forecast_train_step
@@ -420,7 +425,7 @@ def bench_forecast_train_step(micro: bool = False):
         hw, batch = (16, 32), 2
         cfg = micro_config(img_size=hw, dtype=jnp.bfloat16)
     else:
-        hw, batch = (128, 256), 4
+        hw, batch = (128, 256), 2
         cfg = FLOW_140.replace(dtype=jnp.bfloat16, remat=True)
     model = LGUnet(cfg)
     model_params = jax.device_put(

@@ -12,6 +12,7 @@ from vaevar_tpu.config import DAConfig, FLOW_140, VAE_DECODER
 from vaevar_tpu.da import cost as cost_mod, obs as obs_mod
 from vaevar_tpu.da.cost import ObsBundle
 from vaevar_tpu.da.dynamics import make_integrate
+from vaevar_tpu.da.lbfgs import segment_carry_init
 from vaevar_tpu.da.solver import VariationalSolver
 from vaevar_tpu.models.lgunet import LGUnet
 from vaevar_tpu.utils.fast_init import fast_init
@@ -53,7 +54,8 @@ def sync(x):
 # warmup all phases
 bundle = reduce(full_bundle); sync(bundle.a)
 st0 = solver.seg_init(z0)
-zz, st1 = solver.segment(z0, st0, bundle, params); sync(zz)
+ev0 = segment_carry_init()
+zz, st1, _ = solver.segment(z0, st0, ev0, bundle, params); sync(zz)
 fused = solver.fused_solve(cfg.nit)
 zf, xaf = fused(z0, bundle, params); sync(xaf)
 xa = solver.to_state(zz, bundle, params); sync(xa)
@@ -66,7 +68,7 @@ def t(f, n=5):
     return (time.time() - t0) / n
 
 print("reduce      :", t(lambda: reduce(full_bundle).a))
-print("segment(10) :", t(lambda: solver.segment(z0, st0, bundle, params)[0], n=3))
+print("segment(10) :", t(lambda: solver.segment(z0, st0, ev0, bundle, params)[0], n=3))
 print(f"fused({cfg.nit}x10) :", t(lambda: fused(z0, bundle, params)[1], n=3))
 print("to_state    :", t(lambda: solver.to_state(zz, bundle, params)))
 print("integrate   :", t(lambda: integrate(params["flow"], xa)))

@@ -20,6 +20,7 @@ from vaevar_tpu import channels
 from vaevar_tpu.config import DAConfig, VAE_DECODER
 from vaevar_tpu.da import cost as cost_mod, obs as obs_mod
 from vaevar_tpu.da.cost import ObsBundle
+from vaevar_tpu.da.lbfgs import segment_carry_init
 from vaevar_tpu.da.solver import VariationalSolver
 from vaevar_tpu.models.lgunet import LGUnet
 from vaevar_tpu.utils.fast_init import fast_init
@@ -56,13 +57,14 @@ def run(name, fuse):
                                history=cfg.lbfgs_history)
     red = jax.jit(lambda b: cost_mod.reduce_obs(b, (128, 256)))(full)
     st = solver.seg_init(z0)
-    x, s = solver.segment(z0, st, red, params)
-    x, s = solver.segment(x, s, red, params)
+    ev0 = segment_carry_init()  # each call = one OUTER segment
+    x, s, _ = solver.segment(z0, st, ev0, red, params)
+    x, s, _ = solver.segment(x, s, ev0, red, params)
     sync(x)
     t0 = time.time()
     x, s2 = z0, st
     for _ in range(10):
-        x, s2 = solver.segment(x, s2, red, params)
+        x, s2, _ = solver.segment(x, s2, ev0, red, params)
     sync(x)
     # 10 segment dispatches x lbfgs_iters quasi-Newton iterations each
     n_qn = 10 * cfg.lbfgs_iters

@@ -37,6 +37,7 @@ from vaevar_tpu.config import DAConfig, FLOW_140, VAE_DECODER
 from vaevar_tpu.da import cost as cost_mod, obs as obs_mod
 from vaevar_tpu.da.cost import ObsBundle
 from vaevar_tpu.da.dynamics import make_integrate
+from vaevar_tpu.da.lbfgs import segment_carry_init
 from vaevar_tpu.da.solver import VariationalSolver
 from vaevar_tpu.models.lgunet import LGUnet
 from vaevar_tpu.utils.fast_init import fast_init
@@ -109,7 +110,8 @@ def run_granularity(which):
                                    iters_per_dispatch=ipd)
         # memory-check the segment program before executing (house rule)
         st = solver.seg_init(z0)
-        comp = jax.jit(solver._segment_raw).lower(z0, st, red, params
+        ev0 = segment_carry_init()
+        comp = jax.jit(solver._segment_raw).lower(z0, st, ev0, red, params
                                                   ).compile()
         mem = comp.memory_analysis()
         gib = (mem.temp_size_in_bytes + mem.output_size_in_bytes) / 2**30
@@ -160,13 +162,14 @@ def run_anomaly():
     # but diagnostic: isolates per-dispatch tunnel latency from device time)
     st = solver.seg_init(z0)
     x = z0
+    ev = segment_carry_init()
     t0 = time.time()
-    x, st = solver.segment(x, st, red, params)
+    x, st, ev = solver.segment(x, st, ev, red, params)
     sync(x)
     t_first = time.time() - t0
     t0 = time.time()
     for _ in range(9):
-        x, st = solver.segment(x, st, red, params)
+        x, st, ev = solver.segment(x, st, ev, red, params)
     sync(x)
     t_nine = time.time() - t0
     print(f"anomaly(1.4deg): reduce {t_red:.3f}s, first segment "

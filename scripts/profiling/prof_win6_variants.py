@@ -24,6 +24,7 @@ from vaevar_tpu import channels
 from vaevar_tpu.config import DAConfig, FLOW_140, VAE_DECODER
 from vaevar_tpu.da import cost as cost_mod, obs as obs_mod
 from vaevar_tpu.da.cost import ObsBundle
+from vaevar_tpu.da.lbfgs import segment_carry_init
 from vaevar_tpu.da.solver import VariationalSolver
 from vaevar_tpu.models.lgunet import LGUnet
 from vaevar_tpu.utils.fast_init import fast_init
@@ -71,7 +72,8 @@ def run(name, block_remat, step_ckpt):
     red = jax.jit(lambda b: cost_mod.reduce_obs_window(b, (128, 256)))(
         full_bundle)
     st = solver.seg_init(z0)
-    lowered = jax.jit(solver._segment_raw).lower(z0, st, red, params)
+    ev0 = segment_carry_init()
+    lowered = jax.jit(solver._segment_raw).lower(z0, st, ev0, red, params)
     compiled = lowered.compile()
     mem = compiled.memory_analysis()
     try:
@@ -92,13 +94,13 @@ def run(name, block_remat, step_ckpt):
     # warmup calls out of caution (a seg_init/carried-state signature
     # mismatch once caused a second compile here; lbfgs_init_state now
     # strengthens its leaf dtypes so both calls share one program).
-    x, s = solver.segment(z0, st, red, params)
-    x, s = solver.segment(x, s, red, params)
+    x, s, ev = solver.segment(z0, st, ev0, red, params)
+    x, s, ev = solver.segment(x, s, ev, red, params)
     sync(x)
     t0 = time.time()
-    x, s2 = z0, st
+    x, s2, ev = z0, st, ev0
     for _ in range(10):
-        x, s2 = solver.segment(x, s2, red, params)
+        x, s2, ev = solver.segment(x, s2, ev, red, params)
     sync(x)
     print(f"{name}: 10 iters {time.time() - t0:.2f}s", flush=True)
 

@@ -559,14 +559,23 @@ class TestReducedWindowCost:
             "segment": dict(segment_dispatch=True, iters_per_dispatch=None),
             "fused": {},
         }
+        # the dispatched granularities share bitwise-identical programs;
+        # the fused path runs the same segment body inside a lax.scan,
+        # where XLA's different fusion choices shift f32 rounding by ulps
+        # (measured norm-rel 1.8e-8 here; a z500-scale physical field has
+        # ~4e-3 PER ULP, so elementwise atol is not a meaningful bound)
         xas = {}
         for mode, kw in kws.items():
             s = VariationalSolver(c, ts, parts, lbfgs_iters=4, history=4,
                                   **kw)
             _, xa, _ = s.solve(z, red, params, nit=2, gt=None, verbose=False)
             xas[mode] = np.asarray(xa)
-        np.testing.assert_allclose(xas["segment"], xas["iter"], atol=1e-5)
-        np.testing.assert_allclose(xas["fused"], xas["iter"], atol=1e-5)
+
+        def nrel(a, b):
+            return np.linalg.norm(a - b) / np.linalg.norm(b)
+
+        np.testing.assert_array_equal(xas["segment"], xas["iter"])
+        assert nrel(xas["fused"], xas["iter"]) < 1e-6
 
     def test_cycler_window_dispatch_mapping(self):
         """_window_dispatch_kw: 3D-Var ignores the knob; 'fused' falls back

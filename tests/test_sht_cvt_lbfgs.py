@@ -157,15 +157,20 @@ class TestLBFGS:
             return (1 - x[0]) ** 2 + 100 * (x[1] - x[0] ** 2) ** 2
 
         x0 = jnp.asarray([-1.2, 1.0])
-        r_full = lbfgs_minimize(f, x0, max_iters=10)
-        r1 = lbfgs_minimize(f, x0, max_iters=5)
-        r2 = lbfgs_minimize(f, r1.x, max_iters=5, init_state=r1.state)
+        # disable the per-call eval budget: the property under test is
+        # state continuation, and torch's max_eval is per-.step(), so two
+        # .step(5) calls genuinely have different budgets than one
+        # .step(10) (Rosenbrock's early zooms cost ~3 evals/iter)
+        kw = dict(max_evals=10_000)
+        r_full = lbfgs_minimize(f, x0, max_iters=10, **kw)
+        r1 = lbfgs_minimize(f, x0, max_iters=5, **kw)
+        r2 = lbfgs_minimize(f, r1.x, max_iters=5, init_state=r1.state, **kw)
         assert int(r2.n_iters) == int(r_full.n_iters) == 10
         np.testing.assert_allclose(
             np.asarray(r2.x), np.asarray(r_full.x), rtol=1e-6
         )
         # fresh state instead would diverge from the single-run trajectory
-        r2_fresh = lbfgs_minimize(f, r1.x, max_iters=5)
+        r2_fresh = lbfgs_minimize(f, r1.x, max_iters=5, **kw)
         assert not np.allclose(np.asarray(r2_fresh.x), np.asarray(r_full.x))
 
 

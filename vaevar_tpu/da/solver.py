@@ -29,7 +29,11 @@ import numpy as np
 
 from vaevar_tpu import channels
 from vaevar_tpu.da.cost import ObsBundle
-from vaevar_tpu.da.lbfgs import lbfgs_init_state, lbfgs_minimize
+from vaevar_tpu.da.lbfgs import (
+    lbfgs_init_state,
+    lbfgs_minimize,
+    segment_carry_init,
+)
 from vaevar_tpu.utils import metrics as M
 
 
@@ -71,6 +75,7 @@ class VariationalSolver:
         mesh=None,  # jax.sharding.Mesh with "sh"/"sw" axes for spatial SPMD
         segment_dispatch: bool = False,
         iters_per_dispatch: int | None = None,
+        max_segment_evals: int | None = None,
     ):
         """segment_dispatch=True keeps multiple short device dispatches
         instead of fusing the whole solve into a single XLA program. Use
@@ -102,13 +107,24 @@ class VariationalSolver:
             return lbfgs_init_state(x, history=history)
 
         ipd = self._ipd
+        # torch's per-.step() closure-eval budget (max_eval = max_iter*5//4,
+        # da_4dvar.py:1119,1240 leave it at the default): one OUTER segment
+        # of lbfgs_iters iterations gets this many cost evals, regardless
+        # of how many dispatched programs the segment is split into.
+        # max_segment_evals overrides it (a large value disables budgeting;
+        # note a BINDING budget makes the stop iteration sensitive to ulp-
+        # level f32 differences between compilation contexts, so fused vs
+        # dispatched solves only agree exactly when the budget doesn't bind)
+        seg_evals = (max_segment_evals if max_segment_evals is not None
+                     else lbfgs_iters * 5 // 4)
 
-        def segment(x, state, bundle, params):
+        def segment(x, state, carry, bundle, params):
             res = lbfgs_minimize(
                 lambda q: cost(q, bundle, params), x, max_iters=ipd,
                 history=history, init_state=state,
+                max_evals=seg_evals, seg_carry=carry,
             )
-            return res.x, res.state
+            return res.x, res.state, res.seg_carry
 
         def diagnostics(x, bundle, params, gt0):
             xhat_n = (to_state(x, bundle, params) - self._mean) / self._std
@@ -136,18 +152,25 @@ class VariationalSolver:
 
     def fused_solve(self, nit: int):
         """One jitted program for the whole solve when no per-iteration
-        diagnostics are requested: a single continuous L-BFGS run of
-        nit * lbfgs_iters quasi-Newton iterations + final to_state —
-        identical optimizer trajectory to the segmented path (the
-        reference's diagnostics between .step() calls don't touch state)."""
+        diagnostics are requested: lax.scan over the nit L-BFGS segments
+        (state carried, per-segment closure-eval budget reset like torch's
+        per-.step() max_eval) + final to_state — identical optimizer
+        trajectory to the segmented path (the reference's diagnostics
+        between .step() calls don't touch state)."""
         if nit not in self._fused_cache:
 
             def run(x0, bundle, params):
-                res = lbfgs_minimize(
-                    lambda q: self._cost(q, bundle, params), x0,
-                    max_iters=nit * self._lbfgs_iters, history=self._history,
+                def body(carry, _):
+                    x, st = carry
+                    x2, st2, _ = self._segment_raw(
+                        x, st, segment_carry_init(), bundle, params
+                    )
+                    return (x2, st2), None
+
+                (xf, _), _ = jax.lax.scan(
+                    body, (x0, self._seg_init_raw(x0)), None, length=nit
                 )
-                return res.x, self._to_state_raw(res.x, bundle, params)
+                return xf, self._to_state_raw(xf, bundle, params)
 
             self._fused_cache[nit] = jax.jit(run)
         return self._fused_cache[nit]
@@ -166,7 +189,9 @@ class VariationalSolver:
                 def body(carry, _):
                     x, st = carry
                     d = self._diagnostics_raw(x, bundle, params, gt0)
-                    x2, st2 = self._segment_raw(x, st, bundle, params)
+                    x2, st2, _ = self._segment_raw(
+                        x, st, segment_carry_init(), bundle, params
+                    )
                     return (x2, st2), d
 
                 (xf, _), ds = jax.lax.scan(
@@ -244,8 +269,10 @@ class VariationalSolver:
                 self._record_iter(diag, wrmse, bias, float(jb), float(jo),
                                   kk, verbose, name)
             if kk < nit:
+                carry = segment_carry_init()  # per-segment stop-rule reset
                 for _ in range(self._lbfgs_iters // self._ipd):
-                    x, opt_state = self.segment(x, opt_state, bundle, params)
+                    x, opt_state, carry = self.segment(x, opt_state, carry,
+                                                       bundle, params)
         diag.seconds = time.time() - t0
         return x, self.to_state(x, bundle, params), diag
 
