@@ -53,9 +53,16 @@ def sync(x):
     return float(jnp.sum(jnp.asarray(x).reshape(-1)[::9973]))
 
 
-def run(name, block_remat, step_ckpt):
+def run(name, block_remat, step_ckpt, flow_remat=None):
+    # flow_remat=None ties the flow's block remat to the decoder's
+    # (the round-3 on/off probe); the mixed variants split them — with
+    # the step checkpoint on, only ONE rollout step's activations are
+    # live during its backward, so dropping a single model's block
+    # remat may fit the 12.5 GiB guard while skipping its recompute.
+    if flow_remat is None:
+        flow_remat = block_remat
     decoder = LGUnet(VAE_DECODER.replace(dtype=dtype, remat=block_remat))
-    flow = LGUnet(FLOW_140.replace(dtype=dtype, remat=block_remat))
+    flow = LGUnet(FLOW_140.replace(dtype=dtype, remat=flow_remat))
     params = {
         "decoder": jax.device_put(fast_init(decoder, z0, seed=0)),
         "flow": jax.device_put(
@@ -110,6 +117,9 @@ VARIANTS = {
     "noblock": (False, True),
     "nostep": (True, False),
     "none": (False, False),
+    # mixed: (decoder block remat, step ckpt, flow block remat)
+    "flowfull": (True, True, False),   # flow blocks keep activations
+    "decfull": (False, True, True),    # decoder blocks keep activations
 }
 for v in (sys.argv[1:] or list(VARIANTS)):
     run(v, *VARIANTS[v])
