@@ -9,6 +9,7 @@ import pytest
 
 from vaevar_tpu import channels
 from vaevar_tpu import config as cfgs
+from vaevar_tpu.da import baselines
 from vaevar_tpu.da import cost as cost_mod
 from vaevar_tpu.da import obs as obs_mod
 from vaevar_tpu.da.cost import ObsBundle
@@ -345,6 +346,96 @@ class TestCycler:
                 np.asarray(da_s.metrics_list[k]),
                 np.asarray(da_p.metrics_list[k]),
             )
+
+
+class TestInterpolationGolden:
+    """Value-level parity of baselines.interpolation_analysis with a
+    direct transcription of the reference's interpolation branch
+    (da_4dvar.py:968-1061): per-layer scipy griddata fill of unobserved
+    cells, >10-known threshold, NaN -> background fallback, and (real obs)
+    the 13->40-level augmentation before / inverse after. The reference
+    hardcodes `for i in range(204)` (:1017) — its branch only ever runs on
+    real obs; ours generalizes the loop to C_obs channels."""
+
+    @staticmethod
+    def _reference_interpolation(xb, y0, H0, real, dim_out=40):
+        import torch
+        import torch.nn.functional as F
+        from scipy.interpolate import griddata
+
+        from vaevar_tpu.ops.interp import (
+            obs_level_interp_matrix, obs_level_interp_matrix_inv)
+
+        nlev = 13
+        if real:
+            interp = torch.from_numpy(
+                np.asarray(obs_level_interp_matrix(dim_out)))
+            xb0 = torch.from_numpy(xb).unsqueeze(0)
+            xb_aug = [xb0[:, :4]]
+            for i in range(5):
+                mat = xb0[:, 4 + i * nlev: 4 + (i + 1) * nlev]
+                mat = F.linear(mat.transpose(1, 3), interp).transpose(1, 3)
+                xb_aug.append(mat)
+            xb0 = torch.cat(xb_aug, 1).squeeze(0).numpy()
+        else:
+            xb0 = xb.copy()
+
+        xa = xb0.copy()
+        for i in range(y0.shape[0]):  # reference: range(204), real-only
+            a, b = y0[i], H0[i]
+            known_values = a[b == 1]
+            known_coords = np.argwhere(b == 1)
+            unknown_coords = np.argwhere(b == 0)
+            if len(known_values) > 10:
+                xa[i][b == 0] = griddata(known_coords, known_values,
+                                         unknown_coords, method="linear")
+        mask = np.isnan(xa)
+        xa[mask] = xb0[mask]
+
+        if real:
+            interp_inv = torch.from_numpy(
+                np.asarray(obs_level_interp_matrix_inv(dim_out)))
+            xa0 = torch.from_numpy(xa).unsqueeze(0)
+            xa_aug = [xa0[:, :4]]
+            for i in range(5):
+                mat = xa0[:, 4 + i * dim_out: 4 + (i + 1) * dim_out]
+                mat = F.linear(mat.transpose(1, 3),
+                               interp_inv).transpose(1, 3)
+                xa_aug.append(mat)
+            xa = torch.cat(xa_aug, 1).squeeze(0).numpy()
+        return xa
+
+    def test_synthetic_obs_matches_reference_transcription(self):
+        rr = np.random.default_rng(0)
+        hw = (19, 36)
+        xb = rr.normal(size=(69, *hw)).astype(np.float32)
+        yo = rr.normal(size=(69, *hw)).astype(np.float32)
+        Hm = np.zeros((69, *hw), np.float32)
+        cols = rr.random(hw) < 0.15  # column obs, ~100 points/channel
+        Hm[:] = cols
+        Hm[5] = 0.0  # a channel below the >10-known threshold: untouched
+        got = baselines.interpolation_analysis(xb, yo, Hm)
+        want = self._reference_interpolation(xb, yo, Hm, real=False)
+        np.testing.assert_allclose(got, want, rtol=1e-6, atol=1e-6)
+        assert not np.allclose(got, xb)  # the fill actually happened
+        np.testing.assert_array_equal(got[5], xb[5])
+
+    @pytest.mark.slow
+    def test_real_obs_matches_reference_transcription(self):
+        rr = np.random.default_rng(1)
+        hw = (19, 36)
+        dim_out = 40
+        C = 4 + 5 * dim_out
+        xb = rr.normal(size=(69, *hw)).astype(np.float32)
+        yo = rr.normal(size=(C, *hw)).astype(np.float32)
+        Hm = np.zeros((C, *hw), np.float32)
+        Hm[:] = rr.random(hw) < 0.2
+        got = baselines.interpolation_analysis(
+            xb, yo, Hm, real_obs=True, dim_out=dim_out)
+        want = self._reference_interpolation(xb, yo, Hm, real=True,
+                                             dim_out=dim_out)
+        assert got.shape == want.shape == (69, *hw)
+        np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
 
 
 class TestData:

@@ -43,6 +43,32 @@ class LGUnetConfig:
     dtype: Any = None  # compute dtype (None => float32); params stay f32
     flash_min_seq: int = 4096  # windows with N >= this use chunked attention
     fuse_blocks: bool = False  # fused Pallas Swin blocks (relbias enc/dec)
+    # SD_attn extended surface (Attention.py:475-489,543-565), default off
+    # in every shipped reference config:
+    dilated_size: tuple[int, ...] = (1, 1)  # dilated token groups per axis
+    lg_window_size: tuple[int, ...] | None = None  # LG-stage window
+    # override; a len-3 value (t, h, w) with t == 1 runs the LG swin
+    # stages with 3-D windows + rope3 over (B, T=1, H, W, C), matching
+    # LG_net's 3-D branch (networks/LGUnet_all.py:657,731-734)
+
+    def __post_init__(self):
+        if len(self.window_size) != 2:
+            raise ValueError(
+                "window_size is the enc/dec window and must be 2-D; use "
+                "lg_window_size for a 3-D LG-stage window (the reference "
+                "encoder cannot take 3-D windows either: SD_attn would "
+                "mis-unpack 4-D input, Attention.py:577)"
+            )
+        if self.lg_window_size is not None and len(self.lg_window_size) == 3 \
+                and self.lg_window_size[0] != 1:
+            raise ValueError(
+                "3-D LG windows run at T=1 (LG_net.forward hardcodes T=1, "
+                "networks/LGUnet_all.py:728): lg_window_size[0] must be 1"
+            )
+
+    @property
+    def lg_window(self) -> tuple[int, ...]:
+        return self.lg_window_size or self.window_size
 
     @property
     def n_groups(self) -> int:

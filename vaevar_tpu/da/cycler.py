@@ -70,6 +70,10 @@ class CycledDA:
     mask_dir: Optional[str] = None
     coeff_dir: Optional[str] = None  # Q-matrix / B-matrix asset dir
     mask_eval: Optional[np.ndarray] = None  # obs-space holdout (C_obs, H, W)
+    err_std: Optional[np.ndarray] = None  # per-channel decoder scaling for
+    # vae4dvar (None => channels.ERR_STD, the reference stdTr table,
+    # da_4dvar.py:1181); OSSE/synthetic worlds pass the empirical NMC
+    # error std the VAE was trained with
     mesh: object = None  # jax.sharding.Mesh for spatially-sharded solves
     verbose: bool = True
     prefetch_obs: bool = True  # overlap next cycle's host-side obs/truth
@@ -181,6 +185,7 @@ class CycledDA:
             if self._use_reduced_obs:
                 c, to_state, parts = cost_mod.make_vae4dvar_cost_reduced(
                     self.decoder_apply, obs_coeff=cfg.obs_coeff,
+                    err_std=self.err_std,
                 )
                 self._reduce_obs = jax.jit(
                     lambda b: cost_mod.reduce_obs(b, cfg.solver_hw)
@@ -190,6 +195,7 @@ class CycledDA:
                     cost_mod.make_vae4dvar_cost_window_reduced(
                         self.decoder_apply, self.flow_apply,
                         da_win=cfg.da_win, obs_coeff=cfg.obs_coeff,
+                        err_std=self.err_std,
                         step_checkpoint=cfg.window_step_checkpoint,
                     )
                 )
@@ -204,6 +210,7 @@ class CycledDA:
                     da_win=cfg.da_win,
                     obs_coeff=cfg.obs_coeff,
                     interp_matrix=self._interp,
+                    err_std=self.err_std,
                 )
             return VariationalSolver(
                 c, to_state, parts, lbfgs_iters=cfg.lbfgs_iters,

@@ -150,6 +150,86 @@ def _smooth_noise(rng: np.random.Generator, hw, cutoff_frac=0.12) -> np.ndarray:
     return (g / (g.std() + 1e-12)).astype(np.float32)
 
 
+class SharedModeEra5:
+    """Cross-channel-correlated synthetic truth for OSSE experiments.
+
+    All 69 channels load on a few SHARED advecting spatial modes:
+
+        state_c(t) = mean_c + std_c * sum_m load[m, c] * roll(P_m, v_m * t)
+
+    Real background errors are strongly cross-correlated (the reference's
+    CVT regression/EOF coefficients and the VAE prior both exist to
+    exploit exactly that, da_4dvar.py:890-906 / :1185); `SyntheticEra5`'s
+    channels are statistically independent, which makes its model-error
+    distribution incompressible for a small-latent VAE. This source gives
+    OSSE tests an error distribution a VAE can actually learn: a model
+    that advects everything at the mode-0 speed has an error field of
+    rank `n_modes - 1` across channels."""
+
+    def __init__(self, hw=(32, 64), seed: int = 0, speeds=(2, -1),
+                 cutoffs=(0.12, 0.08), amp: float = 1.0):
+        self.hw = hw
+        rng = np.random.default_rng(seed)
+        C = channels.N_CHANNELS
+        self.speeds = tuple(int(s) for s in speeds)
+        self.patterns = np.stack(
+            [_smooth_noise(rng, hw, c) for c in cutoffs[: len(speeds)]]
+        )
+        # mode 0 dominates (the "flow"); later modes are the model-error
+        # carriers. Random signs keep channels +/- correlated.
+        scales = [0.9] + [0.45] * (len(self.speeds) - 1)
+        self.load = np.stack([
+            s * rng.uniform(0.6, 1.0, size=C)
+            * rng.choice([-1.0, 1.0], size=C)
+            for s in scales
+        ]).astype(np.float32)  # (n_modes, C)
+        self.amp = amp
+
+    def _to_hours(self, ts) -> int:
+        if hasattr(ts, "to_pydatetime") or isinstance(ts, datetime) \
+                or hasattr(ts, "timestamp"):
+            epoch = datetime(2000, 1, 1)
+            t = ts.to_pydatetime() if hasattr(ts, "to_pydatetime") else ts
+            if t.tzinfo is not None:
+                t = t.replace(tzinfo=None)
+            return int((t - epoch).total_seconds() // 3600)
+        return int(ts)
+
+    def get_state(self, ts) -> np.ndarray:
+        h = self._to_hours(ts)
+        f = np.zeros((channels.N_CHANNELS, *self.hw), np.float32)
+        for m, v in enumerate(self.speeds):
+            rolled = np.roll(self.patterns[m], h * v, axis=1)
+            f += self.load[m][:, None, None] * rolled[None]
+        return (
+            channels.MEAN.reshape(-1, 1, 1)
+            + self.amp * channels.STD.reshape(-1, 1, 1) * f
+        ).astype(np.float32)
+
+    def advect_model(self):
+        """The OSSE's imperfect forecast model: advances 6 h by rolling
+        the normalized anomaly at the MODE-0 speed (exact for mode 0,
+        wrong for every other mode). Returns a jittable
+        integrate(params, x, steps, interpolation=False) on physical
+        fields plus the matching normalized-space single-step apply
+        (the NMC trainer's `fengwu_apply`)."""
+        import jax.numpy as jnp
+
+        shift6 = 6 * self.speeds[0]
+        mean = jnp.asarray(channels.MEAN, jnp.float32).reshape(-1, 1, 1)
+        std = jnp.asarray(channels.STD, jnp.float32).reshape(-1, 1, 1)
+
+        def integrate(params, x, steps, interpolation=False):
+            del params, interpolation
+            return jnp.roll(x - mean, steps * shift6, axis=-1) + mean
+
+        def fengwu_apply(params, xn):  # normalized (B, C, H, W), one 6h step
+            del params
+            return jnp.roll(xn, shift6, axis=-1)
+
+        return integrate, fengwu_apply
+
+
 class SyntheticEra5:
     """state(t) = mean + std*(a*roll(base, v_c*t) + b*roll(mode2, u_c*t))."""
 

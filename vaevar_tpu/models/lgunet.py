@@ -57,19 +57,39 @@ def _dense(feat, name=None, use_bias=True, dtype=None):
 
 
 class WindowAttention(nn.Module):
-    """Shifted-window MHSA over (B, H, W, C) with RoPE or rel-pos-bias."""
+    """Shifted-window MHSA over (B, H, W, C) with RoPE or rel-pos-bias.
+
+    Covers SD_attn's full parameter surface (Attention.py:467-664): 2-D
+    windows (the production configs) plus the dilated-token-group path
+    (`dilated_size` > 1, Attention.py:475-489,600-609) and 3-D
+    (time, lat, lon) windows over (B, T, H, W, C) inputs with rope3
+    (Attention.py:543-565). Dilated/3-D run the general einsum path and
+    require attn_type="rope" (the old-gen relbias block has neither)."""
 
     dim: int
     num_heads: int
-    window_size: tuple[int, int]
-    shift_size: tuple[int, int]
-    resolution: tuple[int, int]
+    window_size: tuple[int, ...]
+    shift_size: tuple[int, ...]
+    resolution: tuple[int, ...]
     attn_type: str = "rope"  # "rope" | "relbias"
     lora_rank: int = 0
     dtype: Any = None
     flash_min_seq: int = 4096
+    dilated_size: tuple[int, ...] | None = None  # None => all ones
 
     def setup(self):
+        nd = len(self.window_size)
+        dil = tuple(self.dilated_size) if self.dilated_size else (1,) * nd
+        if nd == 3 or any(d > 1 for d in dil):
+            if self.attn_type != "rope":
+                raise ValueError(
+                    "dilated/3-D windows exist only in SD_attn "
+                    "(attn_type='rope'); the old-gen relbias block has "
+                    "neither (Attention.py:467 vs swinblock.py:64)"
+                )
+            self._setup_general(dil)
+            return
+        self._general = False
         H, W = self.resolution
         wh, ww = self.window_size
         sh, sw = self.shift_size
@@ -113,7 +133,101 @@ class WindowAttention(nn.Module):
         self._mask = win_ops.swin_attention_mask(H, W, self._win, self._shift,
                                                  neg=neg)
 
+    def _setup_general(self, dil):
+        """SD_attn general path: dilated groups and/or 3-D windows."""
+        self._general = True
+        self._win = tuple(self.window_size)
+        self._shift = tuple(self.shift_size)
+        self._dil = dil
+        self._total = tuple(w * d for w, d in zip(self._win, dil))
+        head_dim = self.dim // self.num_heads
+        self.scale = head_dim**-0.5
+        self.qkv = _dense(self.dim * 3, name="qkv", dtype=self.dtype)
+        self.proj = _dense(self.dim, name="proj", dtype=self.dtype)
+        if self.lora_rank > 0:
+            self.qA = _dense(self.lora_rank, name="qA", use_bias=False,
+                             dtype=self.dtype)
+            self.qB = nn.Dense(self.dim, name="qB", use_bias=False,
+                               kernel_init=nn.initializers.zeros,
+                               dtype=self.dtype)
+        if len(self._win) == 3:
+            self._rope_tables = rope_ops.rope3_tables(self._win, head_dim)
+        else:
+            self._rope_tables = rope_ops.rope2_tables(self._win, head_dim)
+        self._mask = win_ops.sd_attention_mask(
+            self.resolution, self._win, self._shift, dil, neg=-np.inf
+        )
+
+    def _call_general(self, x):
+        """x: (B, *grid, C) with grid of len(window_size) axes. Token
+        groups are the window_size lattice strided by dilated_size inside
+        each total window (Attention.py:600-609); shift engages only when
+        the longitude component is nonzero (Attention.py:585-589)."""
+        win, dil, shift = self._win, self._dil, self._shift
+        nd = len(win)
+        grid = x.shape[1:-1]
+        B, C = x.shape[0], x.shape[-1]
+        h = self.num_heads
+        hd = C // h
+        N = int(np.prod(win))
+        spatial_axes = tuple(range(1, 1 + nd))
+
+        engage = shift[-1] > 0
+        if engage:
+            x = jnp.roll(x, tuple(-s for s in shift), axis=spatial_axes)
+
+        # partition: grid axis g -> (n, w, d); groups are (n..., d...),
+        # tokens are the (w...) raster — SD_attn's regrouped batch order
+        rs = [B]
+        for g, w, d in zip(grid, win, dil):
+            rs += [g // (w * d), w, d]
+        xw = x.reshape(*rs, C)
+        n_axes = [1 + 3 * i for i in range(nd)]
+        w_axes = [2 + 3 * i for i in range(nd)]
+        d_axes = [3 + 3 * i for i in range(nd)]
+        perm = [0] + n_axes + d_axes + w_axes + [1 + 3 * nd]
+        xw = xw.transpose(perm).reshape(-1, N, C)
+        B_ = xw.shape[0]
+
+        qkv = self.qkv(xw)
+        if self.lora_rank > 0:
+            qkv = qkv.at[..., :C].add(self.qB(self.qA(xw)))
+        qkv = qkv.reshape(B_, N, 3, h, hd).transpose(2, 0, 3, 1, 4)
+        q, k, v = qkv[0], qkv[1], qkv[2]  # (B_, h, N, hd)
+
+        apply_rope = (rope_ops.apply_rope3 if nd == 3
+                      else rope_ops.apply_rope2)
+        q = apply_rope(q, self._rope_tables) * self.scale
+        k = apply_rope(k, self._rope_tables)
+        logits = jnp.einsum("bhnd,bhmd->bhnm", q, k,
+                            preferred_element_type=jnp.float32)
+        if self._mask is not None:
+            nW = self._mask.shape[0]
+            logits = logits.reshape(B_ // nW, nW, h, N, N)
+            logits = logits + jnp.asarray(self._mask)[None, :, None]
+            logits = logits.reshape(B_, h, N, N)
+        w = jax.nn.softmax(logits, axis=-1).astype(v.dtype)
+        out = jnp.einsum("bhnm,bhmd->bhnd", w, v)
+        out = out.transpose(0, 2, 1, 3)  # (B_, N, h, hd)
+
+        # inverse of the partition transpose
+        inv_shape = (
+            [B]
+            + [g // (w_ * d_) for g, w_, d_ in zip(grid, win, dil)]
+            + list(dil) + list(win) + [C]
+        )
+        out = out.reshape(inv_shape)
+        inv_perm = [0] * (2 + 3 * nd)
+        for dst, src in enumerate(perm):
+            inv_perm[src] = dst
+        x = out.transpose(inv_perm).reshape(B, *grid, C)
+        if engage:
+            x = jnp.roll(x, shift, axis=spatial_axes)
+        return self.proj(x)
+
     def __call__(self, x):
+        if self._general:
+            return self._call_general(x)
         B, H, W, C = x.shape
         wh, ww = self._win
         sh, sw = self._shift
@@ -237,19 +351,24 @@ class Block(nn.Module):
 
     dim: int
     num_heads: int
-    window_size: tuple[int, int]
-    shift_size: tuple[int, int]
-    resolution: tuple[int, int]
+    window_size: tuple[int, ...]
+    shift_size: tuple[int, ...]
+    resolution: tuple[int, ...]
     attn_type: str
     lora_rank: int = 0
     mlp_ratio: float = 4.0
     dtype: Any = None
     flash_min_seq: int = 4096
     fuse: bool = False  # fused Pallas block (ops/fused_block.py)
+    dilated_size: tuple[int, ...] | None = None  # SD_attn dilated groups
 
     def _can_fuse(self) -> bool:
         from vaevar_tpu.ops.fused_block import _slab_cols
 
+        if len(self.window_size) != 2 or (
+            self.dilated_size and any(d > 1 for d in self.dilated_size)
+        ):
+            return False
         H, W = self.resolution
         wh, ww = self.window_size
         return (
@@ -305,6 +424,7 @@ class Block(nn.Module):
             self.lora_rank,
             self.dtype,
             self.flash_min_seq,
+            dilated_size=self.dilated_size,
             name="attn",
         )
         # old-gen blocks never receive the eps=1e-6 norm partial and fall
@@ -328,8 +448,9 @@ class _BlockPair(nn.Module):
     def __call__(self, x, _):
         kw = dict(self.kw)
         window = kw["window_size"]
-        x = Block(**kw, shift_size=(0, 0), name="b0")(x)
-        x = Block(**kw, shift_size=(window[0] // 2, window[1] // 2),
+        zero = (0,) * len(window)
+        x = Block(**kw, shift_size=zero, name="b0")(x)
+        x = Block(**kw, shift_size=tuple(w // 2 for w in window),
                   name="b1")(x)
         return x, None
 
@@ -341,7 +462,8 @@ class _BlockOne(nn.Module):
 
     @nn.compact
     def __call__(self, x, _):
-        x = Block(**self.kw, shift_size=(0, 0), name="b")(x)
+        zero = (0,) * len(self.kw["window_size"])
+        x = Block(**self.kw, shift_size=zero, name="b")(x)
         return x, None
 
 
@@ -357,13 +479,19 @@ class BlockStack(nn.Module):
     dim: int
     num_heads: int
     depth: int
-    resolution: tuple[int, int]
-    window: tuple[int, int]
+    resolution: tuple[int, ...]
+    window: tuple[int, ...]
     shifted: bool = True
+    dilated: bool = True  # apply cfg.dilated_size (off for full-grid LG0)
 
     @nn.compact
     def __call__(self, x):
         cfg = self.cfg
+        dil = None
+        if self.dilated and any(d > 1 for d in cfg.dilated_size):
+            # SD_attn trims a longer dilated list to the window rank
+            # (Attention.py:475)
+            dil = tuple(cfg.dilated_size[-len(self.window):])
         kw = dict(
             dim=self.dim,
             num_heads=self.num_heads,
@@ -375,6 +503,7 @@ class BlockStack(nn.Module):
             dtype=cfg.dtype,
             flash_min_seq=cfg.flash_min_seq,
             fuse=cfg.fuse_blocks,
+            dilated_size=dil,
         )
         if self.shifted and self.depth % 2 == 0:
             body, length = _BlockPair, self.depth // 2
@@ -382,8 +511,8 @@ class BlockStack(nn.Module):
             body, length = _BlockOne, self.depth
         else:  # odd shifted depth: unscanned fallback
             for i in range(self.depth):
-                shift = (0, 0) if i % 2 == 0 else (
-                    self.window[0] // 2, self.window[1] // 2)
+                shift = (0,) * len(self.window) if i % 2 == 0 else tuple(
+                    w // 2 for w in self.window)
                 x = Block(**kw, shift_size=shift, name=f"blk{i}")(x)
             return x
         if cfg.remat:
@@ -518,19 +647,35 @@ class LGStack(nn.Module):
         Hg, Wg = cfg.lg_resolution
         pos = self.param("pos_embed", _trunc02, (1, Hg, Wg, cfg.embed_dim))
         x = x + pos
+        lg_win = cfg.lg_window
+        win3d = len(lg_win) == 3
+        if win3d:
+            # LG_net's 3-D branch reshapes to (B, T=1, H, W, C) and the
+            # swin stages run 3-D windows + rope3 (LGUnet_all.py:731-734)
+            x = x[:, None]
         for li, (depth, heads) in enumerate(zip(cfg.lg_depths, cfg.lg_heads)):
             full = li == 0 and cfg.lg_full_attn_first
+            if full:
+                # full-grid stage is 2-D regardless (LG_net passes the
+                # [H, W] window for i_layer==0, LGUnet_all.py:689)
+                xf = x[:, 0] if win3d else x
+                xf = BlockStack(
+                    cfg, cfg.embed_dim, heads, depth, (Hg, Wg), (Hg, Wg),
+                    shifted=False, dilated=False, name=f"lg{li}",
+                )(xf)
+                x = xf[:, None] if win3d else xf
+                continue
             x = BlockStack(
                 cfg,
                 cfg.embed_dim,
                 heads,
                 depth,
-                (Hg, Wg),
-                (Hg, Wg) if full else cfg.window_size,
-                shifted=not full,
+                (1, Hg, Wg) if win3d else (Hg, Wg),
+                lg_win,
+                shifted=True,
                 name=f"lg{li}",
             )(x)
-        return x
+        return x[:, 0] if win3d else x
 
 
 def _uniform_groups(chans: tuple[int, ...]) -> bool:

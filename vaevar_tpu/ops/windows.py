@@ -74,3 +74,62 @@ def swin_attention_mask(
     mask = wins[:, None, :] - wins[:, :, None]
     out = np.where(mask != 0, neg, 0.0).astype(np.float32)
     return out
+
+
+def sd_attention_mask(
+    grid, window_size, shift_size, dilated_size=None, neg: float = -np.inf
+) -> np.ndarray | None:
+    """Static SW-MSA mask for SD_attn's full parameter surface: 2-D or 3-D
+    windows and dilated token groups (Attention.py:500-569).
+
+    Returns (nGroups, N, N) additive mask with nGroups = nWin_total *
+    prod(dilated) and N = prod(window_size), group order (window-raster,
+    dilated-offset-raster) matching SD_attn's batch regrouping
+    (Attention.py:543-556,600-609); or None when the reference builds no
+    mask (lon shift zero, or the total window spans the full longitude,
+    Attention.py:580-589).
+
+    Reference quirks reproduced deliberately:
+    - region slices use `window_size`, NOT the dilated total window
+      (create_mask slices at Attention.py:511-537 vs the total-window
+      partition at :541);
+    - the final longitude slice is `slice(0, None)`, overwriting the whole
+      row range — longitude is treated as periodic, so labels only
+      compartmentalize the leading (time/latitude) axes.
+    """
+    import itertools
+
+    nd = len(window_size)
+    dil = tuple(dilated_size) if dilated_size is not None else (1,) * nd
+    total = tuple(w * d for w, d in zip(window_size, dil))
+    if shift_size[-1] == 0 or total[-1] == grid[-1]:
+        return None
+
+    img = np.zeros(grid, dtype=np.float64)
+    ax_slices = [
+        (slice(0, -w), slice(-w, -s), slice(-s, None))
+        for w, s in zip(window_size[:-1], shift_size[:-1])
+    ]
+    w_last = window_size[-1]
+    ax_slices.append(
+        (slice(0, -w_last), slice(-w_last, 0), slice(0, None))
+    )
+    cnt = 0
+    for idx in itertools.product(*ax_slices):
+        img[idx] = cnt
+        cnt += 1
+
+    # partition by the TOTAL window, then regroup so each dilated offset
+    # is one mask row of the window_size-lattice tokens
+    rs = []
+    for g, w, d in zip(grid, window_size, dil):
+        rs += [g // (w * d), w, d]
+    lab = img.reshape(rs)
+    n_axes = [3 * i for i in range(nd)]
+    w_axes = [3 * i + 1 for i in range(nd)]
+    d_axes = [3 * i + 2 for i in range(nd)]
+    lab = lab.transpose(n_axes + d_axes + w_axes).reshape(
+        -1, int(np.prod(window_size))
+    )
+    mask = lab[:, None, :] - lab[:, :, None]
+    return np.where(mask != 0, neg, 0.0).astype(np.float32)

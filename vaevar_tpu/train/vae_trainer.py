@@ -107,6 +107,7 @@ def train_vae(
     ckpt_dir: str | None = None,
     resume: bool = True,
     init_params=None,
+    err_std=None,
 ):
     """Full training loop, streaming host batches.
 
@@ -124,7 +125,7 @@ def train_vae(
     trajectory from the restored epoch boundary.
     """
     init_fn, train_step = make_vae_train_step(
-        vae, fengwu_apply, sigma, lr, latent_hw, nmc_steps
+        vae, fengwu_apply, sigma, lr, latent_hw, nmc_steps, err_std
     )
     step_j = jax.jit(train_step, donate_argnums=(0, 1))
     base_rng = jax.random.PRNGKey(seed)
