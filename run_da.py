@@ -64,8 +64,11 @@ def arg_parser():
     p.add_argument("--solver_grid", type=str, default="128x256")
     p.add_argument("--work_dir", type=str, default="da_cycle_results")
     p.add_argument("--mesh", type=str, default=None,
-                   help="spatial device mesh 'SHxSW' (e.g. 2x4) to shard "
-                        "the (lat, lon) grid of the variational solve")
+                   help="device mesh for the variational solve: 'SHxSW' "
+                        "(e.g. 2x4) shards the (lat, lon) grid; "
+                        "'TPxSHxSW' (e.g. 2x2x2) additionally splits the "
+                        "decoder/flow LG-stage matmuls tensor-parallel "
+                        "over a leading tp axis")
     p.add_argument("--bf16", action=argparse.BooleanOptionalAction,
                    default=True,
                    help="bf16 compute (default on; --no-bf16 for f32)")
@@ -135,21 +138,29 @@ def main():
 
     # validate the mesh spec before any (slow) model initialization
     mesh = None
+    mesh_tp = 1
     if args.mesh:
         from vaevar_tpu.parallel import mesh as pmesh
 
         try:
-            sh, sw = (int(v) for v in args.mesh.split("x"))
-        except ValueError:
-            raise SystemExit(f"--mesh must be 'SHxSW' (e.g. 2x4), got "
-                             f"{args.mesh!r}")
-        if sh * sw > jax.device_count():
+            dims = [int(v) for v in args.mesh.split("x")]
+            assert len(dims) in (2, 3)
+        except (ValueError, AssertionError):
+            raise SystemExit("--mesh must be 'SHxSW' (e.g. 2x4) or "
+                             f"'TPxSHxSW' (e.g. 2x2x2), got {args.mesh!r}")
+        if len(dims) == 3:
+            mesh_tp, sh, sw = dims
+        else:
+            sh, sw = dims
+        n = mesh_tp * sh * sw
+        if n > jax.device_count():
             raise SystemExit(
-                f"--mesh {args.mesh} needs {sh * sw} devices, have "
+                f"--mesh {args.mesh} needs {n} devices, have "
                 f"{jax.device_count()}"
             )
-        mesh = pmesh.make_mesh({"sh": sh, "sw": sw},
-                               jax.devices()[: sh * sw])
+        axes = {"sh": sh, "sw": sw} if mesh_tp == 1 else {
+            "tp": mesh_tp, "sh": sh, "sw": sw}
+        mesh = pmesh.make_mesh(axes, jax.devices()[:n])
 
     from vaevar_tpu.config import DAConfig, FLOW_140, FORECAST_025, VAE_DECODER
     from vaevar_tpu.da.cvt import BMatrixAssets, CVTransform
@@ -274,6 +285,19 @@ def main():
         forecast_integrate = lambda p, x, steps, interpolation=True: (
             flow_integrate(p, x, steps, True)
         )
+
+    if mesh is not None and mesh_tp > 1:
+        # tensor-parallel LG-stage placement for the models that run
+        # inside the solve; solver._shard_inputs (replicate_missing)
+        # preserves these placements and replicates the rest
+        from vaevar_tpu.parallel import mesh as pmesh
+
+        dec_params = pmesh.shard_tensor_parallel(dec_params, mesh)
+        flow_params = pmesh.shard_tensor_parallel(flow_params, mesh)
+        if forecast_params is flow_params:
+            forecast_params = flow_params
+        # (a distinct forecast model runs outside the solver; the cycler
+        # replicates it)
 
     reports_source = None
     if args.obs_type.startswith(("real", "prepbufr")):

@@ -181,3 +181,52 @@ def test_two_process_sharded_da_cli(tmp_path):
           for d in dirs]
     np.testing.assert_array_equal(xa[0], xa[1])
     assert np.isfinite(xa[0]).all()
+
+
+@pytest.mark.slow
+def test_two_process_tp_spatial_mesh_cli(tmp_path):
+    """The COMBINED tp x sh x sw mesh through the shipped CLI across two
+    OS processes (the PERF.md round-3 plan: tp x spatial meshes for the
+    0.25deg decoder solve, exercised here at micro shapes): --mesh 2x2x2
+    puts decoder/flow LG matmuls tensor-parallel over 'tp' while the
+    (lat, lon) grid shards over sh x sw, the whole solve spanning the two
+    processes over jax.distributed (Gloo)."""
+    import numpy as np
+
+    port = _free_port()
+    dirs = [str(tmp_path / f"w{pid}") for pid in range(2)]
+    args = [
+        "--da_mode", "vae4dvar", "--obs_type", "free_0005", "--fast_init",
+        "--grid", "32x64", "--solver_grid", "32x64", "--micro",
+        "--mesh", "2x2x2", "--Nit", "1",
+        "--start_time", "2022-01-01 00:00:00",
+        "--end_time", "2022-01-01 06:00:00",
+    ]
+    workers = []
+    for pid in range(2):
+        env = dict(
+            os.environ,
+            PYTHONPATH=REPO + os.pathsep + os.environ.get("PYTHONPATH", ""),
+            XLA_FLAGS="--xla_force_host_platform_device_count=4",
+            JAX_PLATFORMS="cpu",
+            JAX_COORDINATOR_ADDRESS=f"localhost:{port}",
+            SLURM_NTASKS="2",
+            SLURM_PROCID=str(pid),
+        )
+        workers.append(subprocess.Popen(
+            [sys.executable, os.path.join(REPO, "run_da.py"),
+             "--work_dir", dirs[pid], *args],
+            stdout=subprocess.PIPE, stderr=subprocess.PIPE, env=env,
+            cwd=REPO, text=True,
+        ))
+    outs = [w.communicate(timeout=900) for w in workers]
+    for w, (out, err) in zip(workers, outs):
+        assert w.returncode == 0, \
+            f"worker failed:\n{out[-3000:]}\n{err[-3000:]}"
+        assert "DA complete" in out
+
+    run = "run_stdmodify2_free_0005_std0.005_win1_Nit1"
+    states = [np.load(os.path.join(d, run, "xb.npy")) for d in dirs]
+    assert states[0].shape == (69, 32, 64)
+    np.testing.assert_array_equal(states[0], states[1])
+    assert np.isfinite(states[0]).all()

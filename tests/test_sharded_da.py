@@ -160,6 +160,64 @@ class TestShardedSolve:
                                                   1e-12)
         assert rel < 1e-3, rel
 
+    @pytest.mark.slow
+    def test_tp_spatial_combined_mesh_matches_unsharded(self):
+        """The tp x sh x sw COMBINED mesh (the PERF.md round-3 plan for
+        the 0.25deg decoder solve): decoder params tensor-parallel over
+        'tp' (LG-stage qkv/fc1 column-, proj/fc2 row-parallel) while the
+        grid shards over sh/sw in the same jitted solve. Verifies
+        (a) solver._shard_inputs preserves the deliberate tp placements
+        (replicate_missing) and (b) the combined-mesh analysis matches
+        the single-device solve."""
+        cost_f, to_state_f, parts_f, bundle, params, z0 = setup()
+        del cost_f, to_state_f, parts_f
+        dec_cfg = cfgs.micro_config(
+            img_size=HW, inchans_list=(2, 6), outchans_list=(13, 56)
+        )
+        decoder = LGUnet(dec_cfg)
+        cost, to_state, parts = cost_mod.make_vae4dvar_cost_reduced(
+            decoder.apply
+        )
+        red = cost_mod.reduce_obs(bundle, HW)
+
+        plain = VariationalSolver(cost, to_state, parts, lbfgs_iters=4)
+        xa_ref = np.asarray(
+            plain.solve(z0, red, params, nit=1, verbose=False)[1]
+        )
+
+        mesh = pmesh.make_mesh({"tp": 2, "sh": 2, "sw": 2})
+        tp_params = dict(params)
+        tp_params["decoder"] = pmesh.shard_tensor_parallel(
+            params["decoder"], mesh
+        )
+        # the deliberate placement exists before the solve...
+        leaves = jax.tree_util.tree_leaves_with_path(tp_params["decoder"])
+        tp_kernels = [l for p, l in leaves
+                      if "lg" in jax.tree_util.keystr(p)
+                      and not l.sharding.is_fully_replicated]
+        assert tp_kernels, "no tensor-parallel leaves were placed"
+
+        sharded = VariationalSolver(cost, to_state, parts, lbfgs_iters=4,
+                                    mesh=mesh)
+        z, xa, _ = sharded.solve(z0, red, tp_params, nit=1, verbose=False)
+        assert not z.sharding.is_fully_replicated
+        inc_ref = xa_ref - np.asarray(bundle.xb)
+        inc = np.asarray(xa) - np.asarray(bundle.xb)
+        rel = np.linalg.norm(inc - inc_ref) / max(np.linalg.norm(inc_ref),
+                                                  1e-12)
+        assert rel < 1e-3, rel
+
+    def test_replicate_missing_preserves_placements(self):
+        mesh = pmesh.make_mesh({"tp": 2, "sh": 2, "sw": 2})
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        a = jax.device_put(jnp.zeros((4, 8)), NamedSharding(mesh, P(None,
+                                                                    "tp")))
+        tree = {"kept": a, "plain": jnp.ones((3,))}
+        out = pmesh.replicate_missing(tree, mesh)
+        assert out["kept"].sharding.spec == P(None, "tp")
+        assert out["plain"].sharding.is_fully_replicated
+
     def test_host_value_reads_any_layout(self):
         """mesh.host_value: identity on numpy, exact readback of sharded
         and replicated device arrays (the cycler's checkpoint/field-dump

@@ -151,8 +151,9 @@ class CycledDA:
             # solve by _shard_inputs)
             from vaevar_tpu.parallel import mesh as pmesh
 
-            self.forecast_params = pmesh.replicate(self.forecast_params,
-                                                   self.mesh)
+            # replicate_missing: tensor-parallel placements survive
+            self.forecast_params = pmesh.replicate_missing(
+                self.forecast_params, self.mesh)
 
     @property
     def _reducible(self):

@@ -299,7 +299,9 @@ class VariationalSolver:
 
         x0 = sh(x0)
         bundle = type(bundle)(*(sh(f) for f in bundle))
-        params = pmesh.replicate(params, m)
+        # replicate_missing keeps deliberate placements (tensor-parallel
+        # kernels, expert banks) so tp x sh x sw meshes compose
+        params = pmesh.replicate_missing(params, m)
         if gt is not None:
             gt = sh(gt)
         return x0, bundle, params, gt

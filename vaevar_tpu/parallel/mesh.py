@@ -196,6 +196,23 @@ def replicate(tree, mesh: Mesh):
     return jax.device_put(tree, NamedSharding(mesh, P()))
 
 
+def replicate_missing(tree, mesh: Mesh):
+    """Replicate every leaf NOT already committed to `mesh`. Leaves that
+    were deliberately placed — e.g. tensor-parallel kernels from
+    shard_tensor_parallel or expert banks from shard_experts — keep
+    their shardings, so a tp x sh x sw solve mesh composes: the solver
+    replicates the remaining params without undoing the tp placement."""
+    repl = NamedSharding(mesh, P())
+
+    def put(leaf):
+        s = getattr(leaf, "sharding", None)
+        if isinstance(s, NamedSharding) and s.mesh == mesh:
+            return leaf
+        return jax.device_put(leaf, repl)
+
+    return jax.tree.map(put, tree)
+
+
 def global_batch(local_batch, mesh: Mesh, spec: P):
     """Assemble a (possibly multihost) global batch from this process's
     local shard. Single-process: a plain sharded device_put. Multihost:
