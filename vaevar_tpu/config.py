@@ -42,7 +42,6 @@ class LGUnetConfig:
     remat: bool = False  # jax.checkpoint each block (activation recompute)
     dtype: Any = None  # compute dtype (None => float32); params stay f32
     flash_min_seq: int = 4096  # windows with N >= this use chunked attention
-    fuse_blocks: bool = False  # fused Pallas Swin blocks (relbias enc/dec)
     # SD_attn extended surface (Attention.py:475-489,543-565), default off
     # in every shipped reference config:
     dilated_size: tuple[int, ...] = (1, 1)  # dilated token groups per axis

@@ -166,8 +166,13 @@ class SharedModeEra5:
     that advects everything at the mode-0 speed has an error field of
     rank `n_modes - 1` across channels."""
 
-    def __init__(self, hw=(32, 64), seed: int = 0, speeds=(2, -1),
-                 cutoffs=(0.12, 0.08), amp: float = 1.0):
+    def __init__(self, hw=(32, 64), seed: int = 0, speeds=(2, 1),
+                 cutoffs=(0.12, 0.06), amp: float = 1.0):
+        # defaults validated for cycled-DA experiments: the mode-1
+        # mismatch drifts 1 px/h relative to the model against ~16 px
+        # features, so analysis gains PERSIST into the next background
+        # (a fast-decorrelating world injects a saturation-sized fresh
+        # error every cycle and no assimilation can beat a free run)
         self.hw = hw
         rng = np.random.default_rng(seed)
         C = channels.N_CHANNELS

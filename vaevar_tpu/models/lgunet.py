@@ -37,7 +37,6 @@ import numpy as np
 
 from vaevar_tpu.config import LGUnetConfig
 from vaevar_tpu.ops import attention as attn_ops
-from vaevar_tpu.ops import fused_block as fused_ops
 from vaevar_tpu.ops import posenc as posenc_ops
 from vaevar_tpu.ops import rope as rope_ops
 from vaevar_tpu.ops import windows as win_ops
@@ -291,61 +290,6 @@ class Mlp(nn.Module):
         return _dense(self.dim, name="fc2", dtype=self.dtype)(x)
 
 
-class _DenseParams(nn.Module):
-    """Param-holder producing the exact tree of nn.Dense (kernel, bias)."""
-
-    in_dim: int
-    out_dim: int
-
-    @nn.compact
-    def __call__(self):
-        k = self.param("kernel", _trunc02, (self.in_dim, self.out_dim))
-        b = self.param("bias", nn.initializers.zeros, (self.out_dim,))
-        return k, b
-
-
-class _LNParams(nn.Module):
-    """Param-holder producing the exact tree of nn.LayerNorm."""
-
-    dim: int
-
-    @nn.compact
-    def __call__(self):
-        s = self.param("scale", nn.initializers.ones, (self.dim,))
-        b = self.param("bias", nn.initializers.zeros, (self.dim,))
-        return s, b
-
-
-class _AttnParams(nn.Module):
-    """Param-holder matching WindowAttention's relbias tree."""
-
-    dim: int
-    num_heads: int
-    window_size: tuple[int, int]
-
-    @nn.compact
-    def __call__(self):
-        qkv = _DenseParams(self.dim, 3 * self.dim, name="qkv")()
-        proj = _DenseParams(self.dim, self.dim, name="proj")()
-        wh, ww = self.window_size
-        T = (2 * wh - 1) * (2 * ww - 1)
-        tab = self.param("rel_bias_table", _trunc02, (T, self.num_heads))
-        return qkv, proj, tab
-
-
-class _MlpParams(nn.Module):
-    """Param-holder matching Mlp's tree (fc1, fc2)."""
-
-    dim: int
-    hidden: int
-
-    @nn.compact
-    def __call__(self):
-        fc1 = _DenseParams(self.dim, self.hidden, name="fc1")()
-        fc2 = _DenseParams(self.hidden, self.dim, name="fc2")()
-        return fc1, fc2
-
-
 class Block(nn.Module):
     """Pre-norm window-attention transformer block (Blocks.py:103-159)."""
 
@@ -359,61 +303,19 @@ class Block(nn.Module):
     mlp_ratio: float = 4.0
     dtype: Any = None
     flash_min_seq: int = 4096
-    fuse: bool = False  # fused Pallas block (ops/fused_block.py)
     dilated_size: tuple[int, ...] | None = None  # SD_attn dilated groups
-
-    def _can_fuse(self) -> bool:
-        from vaevar_tpu.ops.fused_block import _slab_cols
-
-        if len(self.window_size) != 2 or (
-            self.dilated_size and any(d > 1 for d in self.dilated_size)
-        ):
-            return False
-        H, W = self.resolution
-        wh, ww = self.window_size
-        return (
-            self.fuse
-            and self.attn_type == "relbias"
-            and self.lora_rank == 0
-            and min(H, W) > min(wh, ww)  # no old-gen window clamp
-            and H % wh == 0
-            and W % ww == 0
-            # full-longitude windows hit the reference's mask=None quirk
-            # (swin_attention_mask, ww == W) which the fused biasmask does
-            # not replicate — keep those on the modular path
-            and ww < W
-            # VMEM budget: block weights + (heads, TT, TT) logits must fit
-            # on-chip; excludes the embed_dim-1152 LG stages (their matmuls
-            # are already MXU-roofline under XLA). TT is the SLAB width,
-            # not the grid width.
-            and self.dim <= 384
-            and wh * _slab_cols(W, ww) <= 1024
-        )
+    # NOTE round 4: the fused Pallas Swin block integration (a `fuse`
+    # flag routing relbias blocks through ops/fused_block.fused_swin_block)
+    # was REMOVED after three rounds of measurement: forward-fused blocks
+    # match modular XLA +-5% (docs/PERF.md rounds 1/3), and the round-4
+    # MFU/remat probes show the enc/dec stages are latency-bound by the
+    # architecture's tiny dims (C=96 matmuls at ~7 TF/s vs the 117 TF/s
+    # roofline, ~80 us/op floor under XLA AND Mosaic alike) — no fusion
+    # can aggregate past that without changing the model. The kernel
+    # itself remains in ops/fused_block.py with its unit tests.
 
     @nn.compact
     def __call__(self, x):
-        if self._can_fuse():
-            (qkv_k, qkv_b), (proj_k, proj_b), tab = _AttnParams(
-                self.dim, self.num_heads, self.window_size, name="attn"
-            )()
-            n1s, n1b = _LNParams(self.dim, name="norm1")()
-            n2s, n2b = _LNParams(self.dim, name="norm2")()
-            hidden = int(self.dim * self.mlp_ratio)
-            (fc1_k, fc1_b), (fc2_k, fc2_b) = _MlpParams(
-                self.dim, hidden, name="mlp"
-            )()
-            params = dict(
-                ln1_scale=n1s, ln1_bias=n1b, qkv_kernel=qkv_k,
-                qkv_bias=qkv_b, proj_kernel=proj_k, proj_bias=proj_b,
-                ln2_scale=n2s, ln2_bias=n2b, fc1_kernel=fc1_k,
-                fc1_bias=fc1_b, fc2_kernel=fc2_k, fc2_bias=fc2_b,
-            )
-            if self.dtype is not None:
-                x = x.astype(self.dtype)
-            return fused_ops.fused_swin_block(
-                x, params, tab, window=self.window_size,
-                shift=self.shift_size, heads=self.num_heads, eps=1e-5,
-            )
         attn = WindowAttention(
             self.dim,
             self.num_heads,
@@ -502,7 +404,6 @@ class BlockStack(nn.Module):
             mlp_ratio=cfg.mlp_ratio,
             dtype=cfg.dtype,
             flash_min_seq=cfg.flash_min_seq,
-            fuse=cfg.fuse_blocks,
             dilated_size=dil,
         )
         if self.shifted and self.depth % 2 == 0:
