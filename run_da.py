@@ -36,6 +36,11 @@ def arg_parser():
     p.add_argument("--obs_std", type=float, default=0.005)
     p.add_argument("--obs_coeff", type=float, default=1.0)
     p.add_argument("--filter_coeff", type=float, default=0.1)
+    p.add_argument("--lbfgs_max_evals", type=int, default=None,
+                   help="closure-eval budget per L-BFGS segment (default: "
+                        "torch's max_iter*5//4). Sparse-obs windows grind "
+                        "the zoom linesearch once easy descent is done; a "
+                        "tighter budget trades fit tail for wall clock")
     p.add_argument("--obs_type", type=str, default="column_random_0001")
     p.add_argument("--use_eval", action="store_true",
                    help="hold out obs cells and report obs-space error")
@@ -212,6 +217,7 @@ def main():
         save_interval=args.save_interval,
         window_step_checkpoint=args.win_remat in ("both", "step"),
         window_dispatch=args.window_dispatch,
+        lbfgs_max_evals=args.lbfgs_max_evals,
         latent_shape=(1, 8 if args.micro else 32, *shw),
         grid_hw=hw,
         solver_hw=shw,

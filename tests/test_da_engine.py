@@ -210,6 +210,14 @@ class TestCycler:
         da2.run_assimilation("2022-01-01 00:00", "2022-01-01 12:00")
         assert len(da2.metrics_list["ana_wrmse"]) == 2
 
+    def test_lbfgs_max_evals_knob(self, tmp_path):
+        """DAConfig.lbfgs_max_evals (run_da --lbfgs_max_evals) reaches
+        the solver; default is torch's max_iter*5//4."""
+        da = self._mk(tmp_path, "vae4dvar")
+        assert da._solver.max_segment_evals == 4 * 5 // 4  # iters=4 here
+        da2 = self._mk(tmp_path, "vae4dvar", lbfgs_max_evals=99)
+        assert da2._solver.max_segment_evals == 99
+
     def test_interpolation_mode(self, tmp_path):
         da = self._mk(tmp_path, "interpolation")
         da.run_assimilation("2022-01-01 00:00", "2022-01-01 06:00")

@@ -294,6 +294,13 @@ class DAConfig:
     # non-reduced window costs (real obs) fall back to per-iteration
     # dispatch automatically.
     window_dispatch: str = "fused"
+    # closure-eval budget per L-BFGS segment. None = torch.optim.LBFGS's
+    # default (max_iter * 5 // 4, the reference semantics,
+    # da_4dvar.py:1119,1240). Production extension: sparse-obs windows
+    # (e.g. 3 observed columns at 1.4deg) spend most of their budget in
+    # zoom-linesearch grind once easy descent is done (docs/PERF.md) —
+    # a tighter budget trades analysis-fit tail for wall clock.
+    lbfgs_max_evals: int | None = None
 
     def replace(self, **kw) -> "DAConfig":
         return dataclasses.replace(self, **kw)

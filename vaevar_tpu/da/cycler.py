@@ -216,6 +216,7 @@ class CycledDA:
             return VariationalSolver(
                 c, to_state, parts, lbfgs_iters=cfg.lbfgs_iters,
                 history=cfg.lbfgs_history, mesh=self.mesh,
+                max_segment_evals=cfg.lbfgs_max_evals,
                 **self._window_dispatch_kw(),
             )
         if cfg.da_mode == "sc4dvar":
@@ -249,6 +250,7 @@ class CycledDA:
             return VariationalSolver(
                 c, to_state, parts, lbfgs_iters=min(cfg.lbfgs_iters, 5),
                 history=cfg.lbfgs_history, mesh=self.mesh,
+                max_segment_evals=cfg.lbfgs_max_evals,
                 **self._window_dispatch_kw(),
             )
         return None

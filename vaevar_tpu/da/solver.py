@@ -117,6 +117,7 @@ class VariationalSolver:
         # dispatched solves only agree exactly when the budget doesn't bind)
         seg_evals = (max_segment_evals if max_segment_evals is not None
                      else lbfgs_iters * 5 // 4)
+        self.max_segment_evals = seg_evals
 
         def segment(x, state, carry, bundle, params):
             res = lbfgs_minimize(
