@@ -41,6 +41,12 @@ def arg_parser():
                         "torch's max_iter*5//4). Sparse-obs windows grind "
                         "the zoom linesearch once easy descent is done; a "
                         "tighter budget trades fit tail for wall clock")
+    p.add_argument("--lbfgs_linesearch", type=str, default="zoom",
+                   choices=("zoom", "jvp-zoom"),
+                   help="strong-Wolfe probes: reverse-mode (zoom) or "
+                        "forward-mode (jvp-zoom — same trajectory, probes "
+                        "cost ~2 forwards instead of fwd+bwd; wins on "
+                        "grinding sparse-obs window solves)")
     p.add_argument("--obs_type", type=str, default="column_random_0001")
     p.add_argument("--use_eval", action="store_true",
                    help="hold out obs cells and report obs-space error")
@@ -218,6 +224,7 @@ def main():
         window_step_checkpoint=args.win_remat in ("both", "step"),
         window_dispatch=args.window_dispatch,
         lbfgs_max_evals=args.lbfgs_max_evals,
+        lbfgs_linesearch=args.lbfgs_linesearch,
         latent_shape=(1, 8 if args.micro else 32, *shw),
         grid_hw=hw,
         solver_hw=shw,

@@ -676,6 +676,35 @@ class TestReducedWindowCost:
         np.testing.assert_array_equal(xas["segment"], xas["iter"])
         assert nrel(xas["fused"], xas["iter"]) < 1e-6
 
+    @pytest.mark.slow
+    def test_jvp_zoom_linesearch_matches_zoom_on_window_solve(self):
+        """DAConfig.lbfgs_linesearch="jvp-zoom" (run_da --lbfgs_linesearch)
+        replaces reverse-mode linesearch probes with forward-mode jvp
+        probes (da/lbfgs.scale_by_jvp_zoom_linesearch). The zoom's
+        decisions consume only (value, slope), and jvp's slope equals
+        vdot(grad, direction) to fp noise — the analysis must match the
+        reverse-mode solve to optimizer-trajectory noise."""
+        from vaevar_tpu.da.solver import VariationalSolver
+
+        da_win = 2
+        dec_apply, flow_apply, bundle, params, z, low = self._setup(da_win)
+        red = cost_mod.reduce_obs_window(bundle, low)
+        c, ts, parts = cost_mod.make_vae4dvar_cost_window_reduced(
+            dec_apply, flow_apply, da_win=da_win)
+
+        xas = {}
+        for ls in ("zoom", "jvp-zoom"):
+            s = VariationalSolver(c, ts, parts, lbfgs_iters=4, history=4,
+                                  linesearch=ls)
+            x, xa, _ = s.solve(z, red, params, nit=2, gt=None, verbose=False)
+            xas[ls] = (np.asarray(xa), float(c(x, red, params)))
+
+        nrel = (np.linalg.norm(xas["jvp-zoom"][0] - xas["zoom"][0])
+                / np.linalg.norm(xas["zoom"][0]))
+        assert nrel < 1e-5, nrel
+        np.testing.assert_allclose(xas["jvp-zoom"][1], xas["zoom"][1],
+                                   rtol=1e-4)
+
     def test_cycler_window_dispatch_mapping(self):
         """_window_dispatch_kw: 3D-Var ignores the knob; 'fused' falls back
         to per-iteration dispatch when the cost is NOT reducible (full-grid

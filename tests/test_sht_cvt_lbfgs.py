@@ -174,6 +174,83 @@ class TestLBFGS:
         assert not np.allclose(np.asarray(r2_fresh.x), np.asarray(r_full.x))
 
 
+class TestJvpZoomLinesearch:
+    """Forward-mode strong-Wolfe probes (lbfgs.scale_by_jvp_zoom_linesearch)
+    must follow the reverse-mode zoom's trajectory exactly: the zoom's
+    accept/bracket decisions depend only on (value, slope) and the slope
+    from jax.jvp equals vdot(grad, direction) to fp noise. The cached
+    gradient at the accepted point must be the TRUE gradient (it seeds
+    the next L-BFGS curvature pair)."""
+
+    def _both(self, f, x0, **kw):
+        rz = lbfgs_minimize(f, x0, linesearch="zoom", **kw)
+        rj = lbfgs_minimize(f, x0, linesearch="jvp-zoom", **kw)
+        return rz, rj
+
+    def test_descent_regime_matches_zoom(self):
+        A = jnp.asarray(np.diag(np.linspace(1, 20, 8)), jnp.float32)
+        b = jnp.asarray(np.arange(8.0), jnp.float32)
+        rz, rj = self._both(
+            lambda x: 0.5 * x @ A @ x - b @ x, jnp.zeros(8),
+            max_iters=20, max_evals=10_000,
+        )
+        np.testing.assert_allclose(np.asarray(rj.x), np.asarray(rz.x),
+                                   rtol=1e-5, atol=1e-6)
+        assert int(rj.n_evals) == int(rz.n_evals)
+
+    def test_grinding_regime_matches_zoom(self):
+        # steep + kinked: the unit first probe overshoots, the zoom
+        # brackets and interpolates — the jvp probes drive all of it
+        def f(x):
+            return 50.0 * jnp.sum(x * x) + jnp.sum(jnp.abs(x))
+
+        rz, rj = self._both(f, jnp.ones(4) * 3.0, max_iters=10,
+                            max_evals=10_000)
+        assert int(rz.n_evals) > int(rz.n_iters)  # multi-probe exercised
+        assert int(rj.n_evals) == int(rz.n_evals)
+        np.testing.assert_allclose(np.asarray(rj.x), np.asarray(rz.x),
+                                   rtol=1e-4, atol=1e-6)
+
+    def test_cached_grad_is_true_grad_after_multiprobe(self):
+        import optax
+
+        def f(x):
+            return 50.0 * jnp.sum(x * x) + jnp.sum(jnp.abs(x))
+
+        rj = lbfgs_minimize(f, jnp.ones(4) * 3.0, max_iters=6,
+                            max_evals=10_000, linesearch="jvp-zoom")
+        cached = optax.tree_utils.tree_get(rj.state, "grad")
+        true = jax.grad(f)(rj.x)
+        np.testing.assert_allclose(np.asarray(cached), np.asarray(true),
+                                   rtol=1e-5, atol=1e-6)
+
+    def test_rosenbrock_converges_and_budget_counts_probes(self):
+        def f(x):
+            return (1 - x[0]) ** 2 + 100 * (x[1] - x[0] ** 2) ** 2
+
+        x0 = jnp.asarray([-1.2, 1.0])
+        rz, rj = self._both(f, x0, max_iters=100, max_evals=10_000)
+        np.testing.assert_allclose(np.asarray(rj.x), [1.0, 1.0], atol=1e-3)
+        assert int(rj.n_evals) == int(rz.n_evals)
+        # torch's max_eval budget binds on probe count, identically
+        rzb, rjb = self._both(f, x0, max_iters=100, max_evals=12)
+        assert int(rjb.n_evals) == int(rzb.n_evals)
+        assert int(rjb.n_iters) == int(rzb.n_iters)
+
+    def test_pytree_and_jit(self):
+        def f(p):
+            return jnp.sum((p["a"] - 3.0) ** 2) + 30 * jnp.sum(
+                (p["b"] + 1.0) ** 2
+            )
+
+        res = jax.jit(
+            lambda x0: lbfgs_minimize(f, x0, max_iters=20,
+                                      linesearch="jvp-zoom")
+        )({"a": jnp.zeros(3), "b": jnp.zeros((2, 2))})
+        np.testing.assert_allclose(np.asarray(res.x["a"]), 3.0, atol=1e-4)
+        np.testing.assert_allclose(np.asarray(res.x["b"]), -1.0, atol=1e-4)
+
+
 class TestCVTGoldenVsTorch:
     """Pin the post-smoothing CVT chain (regression coupling, surface std,
     vertical EOF, psi/chi->winds) against a direct torch implementation of

@@ -301,6 +301,17 @@ class DAConfig:
     # zoom-linesearch grind once easy descent is done (docs/PERF.md) —
     # a tighter budget trades analysis-fit tail for wall clock.
     lbfgs_max_evals: int | None = None
+    # strong-Wolfe linesearch implementation (da/lbfgs.py):
+    #   "zoom"     optax's reverse-mode probes: every probe pays a full
+    #              value_and_grad (fwd + remat recompute + grad ops
+    #              through the decoder + da_win flow steps)
+    #   "jvp-zoom" forward-mode probes (scale_by_jvp_zoom_linesearch):
+    #              probe 1 pays value_and_grad, later probes ONE jax.jvp
+    #              (~2 forwards, zero backward activations), true grad
+    #              restored at the accepted point. Identical trajectory
+    #              to fp noise; wins when the zoom grinds (sparse-obs
+    #              windows — the 1.4deg north-star, docs/PERF.md).
+    lbfgs_linesearch: str = "zoom"
 
     def replace(self, **kw) -> "DAConfig":
         return dataclasses.replace(self, **kw)

@@ -217,6 +217,7 @@ class CycledDA:
                 c, to_state, parts, lbfgs_iters=cfg.lbfgs_iters,
                 history=cfg.lbfgs_history, mesh=self.mesh,
                 max_segment_evals=cfg.lbfgs_max_evals,
+                linesearch=cfg.lbfgs_linesearch,
                 **self._window_dispatch_kw(),
             )
         if cfg.da_mode == "sc4dvar":
@@ -251,6 +252,7 @@ class CycledDA:
                 c, to_state, parts, lbfgs_iters=min(cfg.lbfgs_iters, 5),
                 history=cfg.lbfgs_history, mesh=self.mesh,
                 max_segment_evals=cfg.lbfgs_max_evals,
+                linesearch=cfg.lbfgs_linesearch,
                 **self._window_dispatch_kw(),
             )
         return None

@@ -18,6 +18,7 @@ from it.
 
 from __future__ import annotations
 
+import functools
 from typing import Any, Callable, NamedTuple
 
 import jax
@@ -57,17 +58,155 @@ class LBFGSResult(NamedTuple):
         return self.seg_carry.evals
 
 
-def _make_opt(history: int, max_linesearch_steps: int):
-    return optax.lbfgs(
-        memory_size=history,
-        linesearch=optax.scale_by_zoom_linesearch(
-            max_linesearch_steps=max_linesearch_steps,
-            initial_guess_strategy="one",
-        ),
+def scale_by_jvp_zoom_linesearch(
+    max_linesearch_steps: int,
+    initial_guess_strategy: str = "one",
+):
+    """Strong-Wolfe zoom linesearch with FORWARD-MODE probes (TPU-first).
+
+    Same algorithm and trajectory as `optax.scale_by_zoom_linesearch`
+    (Nocedal & Wright 3.5/3.6) — the zoom's accept/bracket decisions use
+    only the probe's value and its slope along the search direction —
+    but each probe after the first computes (value, slope) with ONE
+    `jax.jvp` instead of `jax.value_and_grad`. On the DA window costs
+    the difference is large: a reverse-mode probe through the remat'd
+    decoder + da_win flow-model rollout costs fwd + recompute + grad ops
+    (~2.5-4x a forward), while the jvp probe costs ~2 forwards and holds
+    ZERO backward activations (forward-mode needs no remat at all). The
+    grinding-zoom regime of sparse-obs windows (docs/PERF.md, 1.4deg
+    north-star section) spends most closure evals on rejected probes,
+    which is exactly where this pays.
+
+    Hybrid eval schedule (keeps the descent regime at parity):
+      * probe 1 pays the true `value_and_grad` — when it is accepted
+        (the ~always case in descent regime, ~1.05 evals/iter measured)
+        the iteration costs exactly what the standard linesearch costs
+        and the cached gradient is already the true one;
+      * probes 2..k use `jax.jvp`; the gradient they store is the
+        pseudo-gradient (slope/|u|^2) u whose vdot with the direction
+        reproduces the slope exactly, so every bracketing decision
+        matches the reverse-mode linesearch to fp noise;
+      * at the end, the TRUE (value, grad) at the accepted point is
+        restored: reused from probe 1 / the segment entry when the
+        accepted stepsize is theirs, recomputed with one value_and_grad
+        otherwise — `optax.value_and_grad_from_state` and the L-BFGS
+        curvature pairs therefore always see exact gradients.
+
+    The charged eval count (`num_linesearch_steps`) stays the probe
+    count, identical to the reverse-mode linesearch, so torch's
+    max_eval budget semantics (da_4dvar.py:1119,1240) are unchanged.
+    """
+    from optax._src import base as optax_base
+    from optax._src.linesearch import (
+        ScaleByZoomLinesearchState,
+        ZoomLinesearchInfo,
+        zoom_linesearch,
     )
 
+    init_ls, step_ls, cond_step_ls = zoom_linesearch(
+        max_linesearch_steps=max_linesearch_steps,
+    )
 
-def lbfgs_init_state(x0, history: int = 10, max_linesearch_steps: int = 25):
+    def init_fn(params):
+        val_dtype = jnp.real(jnp.asarray(jax.tree.leaves(params)[0])).dtype
+        return ScaleByZoomLinesearchState(
+            learning_rate=jnp.asarray(1.0, dtype=val_dtype),
+            value=jnp.asarray(jnp.inf, dtype=val_dtype),
+            grad=optax.tree_utils.tree_zeros_like(params),
+            info=ZoomLinesearchInfo(
+                num_linesearch_steps=jnp.asarray(0),
+                decrease_error=jnp.asarray(jnp.inf),
+                curvature_error=jnp.asarray(jnp.inf),
+            ),
+        )
+
+    def update_fn(updates, state, params, *, value, grad, value_fn,
+                  **extra_args):
+        del extra_args  # DA costs close over their data; no fn kwargs
+        vag = jax.value_and_grad(value_fn)
+        u_sq = optax.tree_utils.tree_vdot(updates, updates)
+
+        def jvp_probe(w):
+            v, slope = jax.jvp(value_fn, (w,), (updates,))
+            # pseudo-gradient: vdot(ghat, updates) == slope exactly; the
+            # true gradient at the accepted point is restored below
+            coef = jnp.where(u_sq > 0.0, slope / jnp.maximum(u_sq, 1e-38),
+                             0.0)
+            ghat = optax.tree_utils.tree_scale(coef, updates)
+            return v, ghat
+
+        ls0 = init_ls(
+            updates, params, value=value, grad=grad,
+            prev_stepsize=state.learning_rate,
+            initial_guess_strategy=initial_guess_strategy,
+        )
+        # probe 1: true value_and_grad (always runs — a fresh zoom state
+        # has done=failed=False, exactly like optax's while_loop)
+        ls1 = step_ls(ls0, value_and_grad_fn=vag, fn_kwargs={})
+        s1, v1, g1 = ls1.stepsize, ls1.value, ls1.grad
+        final = jax.lax.while_loop(
+            cond_step_ls,
+            functools.partial(step_ls, value_and_grad_fn=jvp_probe,
+                              fn_kwargs={}),
+            ls1,
+        )
+        eta = final.stepsize
+
+        # restore the TRUE (value, grad) at the accepted point
+        reuse_first = eta == s1
+        reuse_entry = eta == 0.0
+
+        def _reuse(_):
+            v = jnp.where(reuse_entry, value, v1)
+            g = jax.tree.map(
+                lambda a, b: jnp.where(reuse_entry, a, b), grad, g1
+            )
+            return v, g
+
+        def _recompute(_):
+            w_eta = optax.tree_utils.tree_add_scale(params, eta, updates)
+            return vag(w_eta)
+
+        value_f, grad_f = jax.lax.cond(
+            reuse_first | reuse_entry, _reuse, _recompute, None
+        )
+
+        new_state = ScaleByZoomLinesearchState(
+            learning_rate=eta,
+            value=value_f,
+            grad=grad_f,
+            info=ZoomLinesearchInfo(
+                num_linesearch_steps=final.count,
+                decrease_error=final.decrease_error,
+                curvature_error=final.curvature_error,
+            ),
+        )
+        scaled = optax.tree_utils.tree_scale(eta, updates)
+        return scaled, optax.tree_utils.tree_cast_like(new_state, state)
+
+    return optax_base.GradientTransformationExtraArgs(init_fn, update_fn)
+
+
+def _make_opt(history: int, max_linesearch_steps: int,
+              linesearch: str = "zoom"):
+    if linesearch == "jvp-zoom":
+        ls = scale_by_jvp_zoom_linesearch(
+            max_linesearch_steps=max_linesearch_steps,
+            initial_guess_strategy="one",
+        )
+    elif linesearch == "zoom":
+        ls = optax.scale_by_zoom_linesearch(
+            max_linesearch_steps=max_linesearch_steps,
+            initial_guess_strategy="one",
+        )
+    else:
+        raise ValueError(f"unknown linesearch {linesearch!r} "
+                         "(expected 'zoom' or 'jvp-zoom')")
+    return optax.lbfgs(memory_size=history, linesearch=ls)
+
+
+def lbfgs_init_state(x0, history: int = 10, max_linesearch_steps: int = 25,
+                     linesearch: str = "zoom"):
     """Fresh optimizer state for `lbfgs_minimize(..., init_state=...)`.
 
     Leaf dtypes are strengthened (convert_element_type drops weak_type):
@@ -75,7 +214,7 @@ def lbfgs_init_state(x0, history: int = 10, max_linesearch_steps: int = 25):
     become strong after one update, so without this every segment-
     dispatched solve would compile its program TWICE (one signature for
     the fresh state, one for the carried state)."""
-    state = _make_opt(history, max_linesearch_steps).init(x0)
+    state = _make_opt(history, max_linesearch_steps, linesearch).init(x0)
     import jax.lax as lax
 
     return jax.tree.map(
@@ -99,6 +238,7 @@ def lbfgs_minimize(
     max_evals: int | None = None,
     seg_carry: SegmentCarry | None = None,
     init_state=None,
+    linesearch: str = "zoom",
 ) -> LBFGSResult:
     """Minimize `fun` from `x0`. Runs exactly like torch LBFGS semantics:
     up to `max_iters` quasi-Newton iterations with a strong-Wolfe zoom line
@@ -125,6 +265,11 @@ def lbfgs_minimize(
       every dispatch granularity;
     - plus the legacy `tol` on the gradient 2-norm (0 = disabled).
 
+    `linesearch` selects the strong-Wolfe implementation: "zoom"
+    (optax's reverse-mode probes) or "jvp-zoom" (forward-mode probes —
+    see `scale_by_jvp_zoom_linesearch`; same trajectory to fp noise,
+    much cheaper when the zoom grinds on heavy window costs).
+
     Jit-safe. With `init_state` (from a previous result's `.state`),
     continues the SAME minimization — curvature pairs, step scaling, and
     the cached (value, grad) at x0 carry over, and up to `max_iters` more
@@ -132,7 +277,7 @@ def lbfgs_minimize(
     """
     if max_evals is None:
         max_evals = max_iters * 5 // 4  # torch.optim.LBFGS default
-    opt = _make_opt(history, max_linesearch_steps)
+    opt = _make_opt(history, max_linesearch_steps, linesearch)
     value_and_grad = optax.value_and_grad_from_state(fun)
 
     def step(carry):

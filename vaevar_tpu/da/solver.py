@@ -76,6 +76,7 @@ class VariationalSolver:
         segment_dispatch: bool = False,
         iters_per_dispatch: int | None = None,
         max_segment_evals: int | None = None,
+        linesearch: str = "zoom",
     ):
         """segment_dispatch=True keeps multiple short device dispatches
         instead of fusing the whole solve into a single XLA program. Use
@@ -103,8 +104,10 @@ class VariationalSolver:
         # .step() Nit times (da_4dvar.py:1240,1298): optimizer state carries
         # across the outer diagnostic iterations. `segment` therefore
         # threads the optax state through.
+        self.linesearch = linesearch
+
         def seg_init(x):
-            return lbfgs_init_state(x, history=history)
+            return lbfgs_init_state(x, history=history, linesearch=linesearch)
 
         ipd = self._ipd
         # torch's per-.step() closure-eval budget (max_eval = max_iter*5//4,
@@ -124,6 +127,7 @@ class VariationalSolver:
                 lambda q: cost(q, bundle, params), x, max_iters=ipd,
                 history=history, init_state=state,
                 max_evals=seg_evals, seg_carry=carry,
+                linesearch=linesearch,
             )
             return res.x, res.state, res.seg_carry
 
