@@ -589,6 +589,25 @@ def bench_forecast_train_step(micro: bool = False):
     }
 
 
+# --full secondary-metric registry, in run order (primary runs LAST,
+# outside this list). One crashing SECONDARY must not void the whole
+# artifact (a compile-time OOM raises from .compile() before _guard_hbm
+# can inspect the program — that turned a 70-min run into rc=1 once);
+# main() degrades each failure to a stderr skip note.
+# Tests (tests/test_bench_resilience.py) monkeypatch THIS LIST wholesale —
+# adding a secondary here never needs a test edit, and an un-mocked
+# addition can never run a production-size solve on CPU inside the fast
+# tier (the round-4 ee44e43 regression).
+SECONDARIES = [
+    bench_sc4dvar_3dvar,
+    bench_vae4dvar_4dvar_win6,
+    bench_vae4dvar_4dvar_win6_140,
+    bench_vae4dvar_win6_real_obs_any,
+    bench_vae_train_step,
+    bench_forecast_train_step,
+]
+
+
 def main():
     wait_for_backend()  # transient tunnel outage -> late run, not rc=1
 
@@ -599,19 +618,7 @@ def main():
     full = "--full" in sys.argv[1:]
     results = []
     if full:
-        # one crashing SECONDARY must not void the whole artifact (a
-        # compile-time OOM raises from .compile() before _guard_hbm can
-        # inspect the program — that turned a 70-min run into rc=1 once);
-        # degrade to a skip note and keep the remaining metrics
-        secondaries = [
-            bench_sc4dvar_3dvar,
-            bench_vae4dvar_4dvar_win6,
-            bench_vae4dvar_4dvar_win6_140,
-            bench_vae4dvar_win6_real_obs_any,
-            bench_vae_train_step,
-            bench_forecast_train_step,
-        ]
-        for fn in secondaries:
+        for fn in SECONDARIES:
             try:
                 results.append(fn())
             except Exception as e:  # noqa: BLE001 — secondary metric only

@@ -69,6 +69,12 @@ class TestSecondarySkip:
 
     def test_full_survives_secondary_crash(self, monkeypatch, tmp_path,
                                            capsys):
+        # Patch the SECONDARIES registry WHOLESALE — never the individual
+        # bench_* attributes. Round 4 (ee44e43) added a secondary without
+        # updating per-name mocks here, and the un-mocked function ran a
+        # production-size 204-ch win6 solve on one CPU core inside the
+        # fast tier (>65 CPU-min, non-terminating). A registry-level patch
+        # makes that class of regression structurally impossible.
         def ok(name):
             return lambda: {"metric": name, "value": 1.0, "unit": "s",
                             "vs_baseline": None}
@@ -78,12 +84,13 @@ class TestSecondarySkip:
                                "of memory in memory space hbm.")
 
         monkeypatch.setattr(bench, "wait_for_backend", lambda: None)
-        monkeypatch.setattr(bench, "bench_sc4dvar_3dvar", ok("sc"))
-        monkeypatch.setattr(bench, "bench_vae4dvar_4dvar_win6", ok("w6"))
-        monkeypatch.setattr(bench, "bench_vae4dvar_4dvar_win6_140",
-                            lambda: None)  # hbm-guard skip path
-        monkeypatch.setattr(bench, "bench_vae_train_step", boom)
-        monkeypatch.setattr(bench, "bench_forecast_train_step", ok("fc"))
+        monkeypatch.setattr(bench, "SECONDARIES", [
+            ok("sc"),
+            ok("w6"),
+            lambda: None,  # hbm-guard skip path
+            boom,
+            ok("fc"),
+        ])
         monkeypatch.setattr(bench, "bench_vae4dvar_3dvar", ok("primary"))
         monkeypatch.setattr(bench.sys, "argv", ["bench.py", "--full"])
         monkeypatch.setattr(bench.os.path, "abspath",
@@ -102,6 +109,30 @@ class TestSecondarySkip:
 
         saved = _json.load(open(tmp_path / "output" / "bench_full.json"))
         assert [r["metric"] for r in saved] == got
+
+    def test_no_secondary_runs_for_real_under_registry_patch(self,
+                                                             monkeypatch):
+        """Every real secondary lives in bench.SECONDARIES (so patching the
+        registry covers all of them), and main() iterates the registry —
+        not a private list — so a future addition is automatically mocked
+        by the wholesale patch above."""
+        names = [fn.__name__ for fn in bench.SECONDARIES]
+        assert names == [
+            "bench_sc4dvar_3dvar",
+            "bench_vae4dvar_4dvar_win6",
+            "bench_vae4dvar_4dvar_win6_140",
+            "bench_vae4dvar_win6_real_obs_any",
+            "bench_vae_train_step",
+            "bench_forecast_train_step",
+        ], ("bench.SECONDARIES changed — update this list AND confirm "
+            "test_full_survives_secondary_crash still covers the skip "
+            "paths you care about (it patches the registry wholesale, so "
+            "nothing new can run for real).")
+        # main() must not reference the old local list pattern
+        import inspect
+
+        src = inspect.getsource(bench.main)
+        assert "SECONDARIES" in src and "secondaries = [" not in src
 
 
 @pytest.mark.slow
