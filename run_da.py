@@ -46,7 +46,11 @@ def arg_parser():
                    help="strong-Wolfe probes: reverse-mode (zoom) or "
                         "forward-mode (jvp-zoom — same trajectory, probes "
                         "cost ~2 forwards instead of fwd+bwd; wins on "
-                        "grinding sparse-obs window solves)")
+                        "grinding sparse-obs window solves, roughly parity "
+                        "in the descent regime). jvp-zoom is rejected with "
+                        "a clear error for costs using custom-VJP flash "
+                        "attention (mask-free stages with N >= "
+                        "flash_min_seq, e.g. 0.25deg full-grid LG)")
     p.add_argument("--obs_type", type=str, default="column_random_0001")
     p.add_argument("--use_eval", action="store_true",
                    help="hold out obs cells and report obs-space error")

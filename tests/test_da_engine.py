@@ -705,6 +705,33 @@ class TestReducedWindowCost:
         np.testing.assert_allclose(xas["jvp-zoom"][1], xas["zoom"][1],
                                    rtol=1e-4)
 
+    def test_jvp_zoom_rejects_custom_vjp_cost_with_clear_error(self):
+        """lbfgs_linesearch="jvp-zoom" + a cost that routes through the
+        custom-VJP flash attention (ops/flash.py — forward-mode AD cannot
+        trace custom_vjp) must fail at the FIRST solve with an actionable
+        message, not jax's obscure trace-time TypeError (ADVICE r4,
+        da/solver._assert_jvp_compatible)."""
+        from vaevar_tpu.da.solver import VariationalSolver
+        from vaevar_tpu.ops.flash import flash_attention
+
+        def cost(x, bundle, params):
+            q = x.reshape(1, 1, 8, 4)
+            return jnp.sum(flash_attention(q, q, q, 4, 4) ** 2)
+
+        s = VariationalSolver(cost, lambda x, b, p: x,
+                              lambda x, b, p: (0.0, 0.0),
+                              lbfgs_iters=2, linesearch="jvp-zoom")
+        with pytest.raises(ValueError, match="jvp-zoom"):
+            s.solve(jnp.ones(32), jnp.zeros(1), {}, nit=1, gt=None,
+                    verbose=False)
+        # same cost under reverse-mode zoom is fine (no guard, no error)
+        s2 = VariationalSolver(cost, lambda x, b, p: x,
+                               lambda x, b, p: (0.0, 0.0),
+                               lbfgs_iters=2, linesearch="zoom")
+        x, _, _ = s2.solve(jnp.ones(32), jnp.zeros(1), {}, nit=1, gt=None,
+                           verbose=False)
+        assert np.all(np.isfinite(np.asarray(x)))
+
     def test_cycler_window_dispatch_mapping(self):
         """_window_dispatch_kw: 3D-Var ignores the knob; 'fused' falls back
         to per-iteration dispatch when the cost is NOT reducible (full-grid

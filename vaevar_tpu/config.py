@@ -311,6 +311,17 @@ class DAConfig:
     #              restored at the accepted point. Identical trajectory
     #              to fp noise; wins when the zoom grinds (sparse-obs
     #              windows — the 1.4deg north-star, docs/PERF.md).
+    #              Caveats: (1) requires a forward-mode-differentiable
+    #              cost — custom-VJP flash attention (mask-free stages
+    #              with N >= flash_min_seq, e.g. the 0.25deg LG net's
+    #              full-grid stage) is rejected with a clear error at the
+    #              first solve; (2) in the DESCENT regime (~1-2 probes/
+    #              iter, the well-conditioned 0.25deg configs) the
+    #              accepted-point gradient restore costs one extra
+    #              value_and_grad when the accepted stepsize is not the
+    #              first probe's, so jvp-zoom is roughly parity-to-
+    #              slightly-slower there and only wins on grinding zooms
+    #              (measured numbers: docs/PERF.md round 5).
     lbfgs_linesearch: str = "zoom"
 
     def replace(self, **kw) -> "DAConfig":

@@ -58,6 +58,43 @@ class LBFGSResult(NamedTuple):
         return self.seg_carry.evals
 
 
+# optax versions whose _src.linesearch internals the jvp-zoom linesearch
+# was validated against (trajectory-identity suite green). An untested
+# newer optax may still work — the assert is a tripwire, not a lock; add
+# the version here after the parity tests pass against it.
+_OPTAX_TESTED = ("0.2.6",)
+
+
+def _check_optax_compat():
+    import optax as _optax
+
+    ver = getattr(_optax, "__version__", "unknown")
+    try:
+        from optax._src.linesearch import (  # noqa: F401
+            ScaleByZoomLinesearchState,
+            ZoomLinesearchInfo,
+            zoom_linesearch,
+        )
+    except ImportError as e:
+        raise ImportError(
+            f"lbfgs linesearch='jvp-zoom' relies on optax._src.linesearch "
+            f"internals that are absent/renamed in installed optax {ver} "
+            f"(tested: {_OPTAX_TESTED}). Use linesearch='zoom' or port "
+            f"scale_by_jvp_zoom_linesearch to the new internals and add "
+            f"the version to _OPTAX_TESTED after the trajectory-identity "
+            f"tests pass."
+        ) from e
+    if ver not in _OPTAX_TESTED:
+        import warnings
+
+        warnings.warn(
+            f"jvp-zoom linesearch validated against optax {_OPTAX_TESTED}, "
+            f"installed {ver}: run tests/test_sht_cvt_lbfgs.py::"
+            f"TestJvpZoomLinesearch before trusting trajectories.",
+            stacklevel=3,
+        )
+
+
 def scale_by_jvp_zoom_linesearch(
     max_linesearch_steps: int,
     initial_guess_strategy: str = "one",
@@ -95,7 +132,22 @@ def scale_by_jvp_zoom_linesearch(
     The charged eval count (`num_linesearch_steps`) stays the probe
     count, identical to the reverse-mode linesearch, so torch's
     max_eval budget semantics (da_4dvar.py:1119,1240) are unchanged.
+
+    RESTRICTIONS:
+      * the cost must be forward-mode differentiable: the custom-VJP
+        flash-attention ops are NOT (VariationalSolver fails early with
+        an actionable message — see `_assert_jvp_compatible`);
+      * this re-implements optax's scale_by_zoom_linesearch update loop
+        on top of `optax._src.linesearch` INTERNALS (zoom_linesearch,
+        ScaleByZoomLinesearchState, the init/step signatures incl.
+        prev_stepsize/initial_guess_strategy). Written and tested
+        against optax 0.2.6; `_check_optax_compat` below is the upgrade
+        tripwire (clear error instead of a silent trajectory divergence
+        or an ImportError deep in a solve), and the jvp-vs-zoom
+        trajectory-identity tests (tests/test_sht_cvt_lbfgs.py::
+        TestJvpZoomLinesearch) are the behavioral one.
     """
+    _check_optax_compat()
     from optax._src import base as optax_base
     from optax._src.linesearch import (
         ScaleByZoomLinesearchState,

@@ -141,6 +141,7 @@ class VariationalSolver:
             jb, jo = cost_parts(x, bundle, params)
             return wrmse, bias, jb, jo
 
+        self._jvp_checked = linesearch != "jvp-zoom"
         self.seg_init = jax.jit(seg_init)
         self.segment = jax.jit(segment)
         self.diagnostics = jax.jit(diagnostics)
@@ -223,6 +224,9 @@ class VariationalSolver:
         name: str = "da",
     ):
         params = {} if params is None else params
+        if not self._jvp_checked:
+            self._assert_jvp_compatible(x0, bundle, params)
+            self._jvp_checked = True
         if self.mesh is not None:
             x0, bundle, params, gt = self._shard_inputs(x0, bundle, params, gt)
         diag = SolveDiagnostics()
@@ -245,6 +249,46 @@ class VariationalSolver:
                               float(jo[kk]), kk, verbose, name)
         diag.seconds = time.time() - t0
         return x, xa, diag
+
+    def _assert_jvp_compatible(self, x0, bundle, params):
+        """Fail EARLY and clearly when linesearch="jvp-zoom" is paired with
+        a cost that forward-mode AD cannot trace.
+
+        The flash-attention ops (ops/pallas_attn.py, ops/flash.py) are
+        `jax.custom_vjp` functions — reverse-mode only; `jax.jvp` raises
+        at trace time. They activate whenever a mask-free attention stage
+        has N >= flash_min_seq (the 0.25deg LG net's full-grid stage,
+        N=16200) or lg_full_attn_first=True at large grids. Rather than
+        introspect model configs (fragile), LOWER a jvp of the actual
+        cost once per run (abstract shapes, no compile, no device work —
+        the custom_vjp complaint only fires at jit-lowering, not under
+        eval_shape/make_jaxpr) and translate the obscure trace error
+        into an actionable one.
+        """
+        def probe(x):
+            return jax.jvp(
+                lambda q: self._cost(q, bundle, params), (x,), (x,)
+            )[1]
+
+        abstract = jax.tree.map(
+            lambda a: jax.ShapeDtypeStruct(jnp.shape(a),
+                                           jnp.asarray(a).dtype), x0
+        )
+        try:
+            jax.jit(probe).lower(abstract)
+        except TypeError as e:
+            if "custom_vjp" not in str(e) and "forward-mode" not in str(e):
+                raise
+            raise ValueError(
+                "lbfgs_linesearch='jvp-zoom' needs a forward-mode-"
+                "differentiable cost, but this cost hits a custom-VJP "
+                "flash-attention op (mask-free attention stage with "
+                "N >= flash_min_seq — e.g. the 0.25deg LG net's full-grid "
+                "stage, or lg_full_attn_first=True at large grids). "
+                "Use lbfgs_linesearch='zoom' for this config, or raise "
+                "flash_min_seq above the largest mask-free stage so the "
+                "dense attention path (jvp-capable) is used instead."
+            ) from e
 
     @staticmethod
     def _record_iter(diag, wrmse, bias, jb, jo, kk, verbose, name):
