@@ -131,6 +131,27 @@ def arg_parser():
     return p.parse_args()
 
 
+def _load_b_assets(coeff_dir: str, scale_factor: float):
+    """Real B coefficients (da_4dvar.py:520-526) when present; otherwise a
+    LOUD synthetic fallback — silently swapping B changes every sc4dvar
+    analysis, so the substitution must never pass unnoticed (VERDICT r4)."""
+    import sys
+
+    from vaevar_tpu.da.cvt import BMatrixAssets
+
+    if os.path.exists(os.path.join(coeff_dir, "len_scale.npy")):
+        return BMatrixAssets.load(coeff_dir, scale_factor)
+    print(
+        f"WARNING: B-matrix coefficient dir {coeff_dir!r} has no "
+        f"len_scale.npy — falling back to CALIBRATED SYNTHETIC B "
+        f"(BMatrixAssets.synthetic). Analyses will NOT match runs using "
+        f"the reference's dataset/bq_info_lr coefficients; pass "
+        f"--coeff_dir to use real assets.",
+        file=sys.stderr, flush=True,
+    )
+    return BMatrixAssets.synthetic(scale_factor)
+
+
 def main():
     args = arg_parser()
     import jax
@@ -349,9 +370,7 @@ def main():
         decoder_apply=decoder.apply,
         vae_params=dec_params,
         cvt=CVTransform(
-            BMatrixAssets.load(args.coeff_dir, args.scale_factor)
-            if os.path.exists(os.path.join(args.coeff_dir, "len_scale.npy"))
-            else BMatrixAssets.synthetic(args.scale_factor),
+            _load_b_assets(args.coeff_dir, args.scale_factor),
             solver_hw=shw,
             out_hw=hw,
         ) if args.da_mode == "sc4dvar" else None,

@@ -56,6 +56,8 @@ pytestmark = [
 
 HW = (32, 64)  # micro analysis grid (stands in for 721x1440)
 LHW = (16, 32)  # latent / solver / flow grid (stands in for 128x256)
+# REAL reference B coefficients (da_4dvar.py:520-526), read-only
+REAL_COEFF_DIR = "/root/reference/dataset/bq_info_lr"
 
 COMMON = dict(
     patch_size=(2, 2), stride=(2, 2), enc_dim=8, embed_dim=48,
@@ -321,7 +323,27 @@ class TestOneCycleGolden:
         reference's real assets are physically scaled by construction).
         Measured: chain parity ~2e-7, field rel err ~9e-5, z500 rel diff
         ~5e-6, increment divergence 0.16."""
-        b = BMatrixAssets.synthetic(scale_factor=2.0, seed=3)
+        self._run_sc4dvar_golden(
+            BMatrixAssets.synthetic(scale_factor=2.0, seed=3)
+        )
+
+    def test_sc4dvar_3dvar_real_b_assets(self):
+        """The SAME one-cycle sc4dvar golden on the REAL reference
+        coefficients (dataset/bq_info_lr, loaded via BMatrixAssets.load —
+        the run_da.py default path, previously untested against the actual
+        files; da_4dvar.py:520-526). The real EOF spectrum spans ~27
+        decades (vert_eig_value 2.8e-15..3.6e12), so this also exercises
+        the f32 chain at the production dynamic range."""
+        import os
+
+        if not os.path.exists(os.path.join(REAL_COEFF_DIR,
+                                           "len_scale.npy")):
+            pytest.skip("reference bq_info_lr assets not present")
+        self._run_sc4dvar_golden(
+            BMatrixAssets.load(REAL_COEFF_DIR, scale_factor=2.0)
+        )
+
+    def _run_sc4dvar_golden(self, b):
         cvt = CVTransform(b, solver_hw=LHW, out_hw=HW, hpad=8)
         increment_t = _torch_cvt_chain(cvt)
 

@@ -161,6 +161,73 @@ class TestShardedSolve:
         assert rel < 1e-3, rel
 
     @pytest.mark.slow
+    def test_sharded_realobs_augmented_window_matches_unsharded(self):
+        """Mesh-sharded REAL-OBS (level-augmented) 4D-Var window solve —
+        the one production cost family that genuinely NEEDS the mesh: at
+        0.25deg the (T, 204, H, W) yo/H alone are ~10.2 GiB, over one
+        v5e chip (bench.py pre-gate), so the augmented window cost must
+        run with its obs tensors partitioned over sh x sw. The innovation
+        is pointwise in (H, W) and the level-augment einsum contracts
+        channels only, so GSPMD keeps the obs term fully local; the
+        per-iteration segment dispatch is the production granularity for
+        this non-reducible cost (cycler._window_dispatch_kw fallback).
+        Reference: da_4dvar.py:1196-1206."""
+        from vaevar_tpu.ops.interp import (
+            augment_levels,
+            obs_level_interp_matrix,
+        )
+
+        _c, _t, _p, bundle, params, z0 = setup()
+        da_win = 2
+        dec_cfg = cfgs.micro_config(
+            img_size=HW, inchans_list=(2, 6), outchans_list=(13, 56)
+        )
+        decoder = LGUnet(dec_cfg)
+        flow = LGUnet(cfgs.micro_config(img_size=HW))
+        params = dict(params)
+        params["flow"] = flow.init(jax.random.PRNGKey(5),
+                                   jnp.zeros((1, 69, *HW)))
+
+        interp = jnp.asarray(obs_level_interp_matrix(40))
+        rr = np.random.default_rng(11)
+        gt2 = jnp.stack([bundle.yo[0], bundle.yo[0] + 0.05])
+        gt_aug = augment_levels(gt2, interp)  # (T, 204, H, W)
+        c_obs = gt_aug.shape[1]
+        cols = rr.random((1, 1, *HW)) < 0.02  # station columns
+        lvl = rr.random((da_win, c_obs, 1, 1)) < 0.6
+        Hm = jnp.asarray((cols & lvl).astype(np.float32))
+        Hm = jnp.broadcast_to(Hm, (da_win, c_obs, *HW))
+        R2 = jnp.asarray(
+            obs_mod.build_R(obs_mod.obs_error_variance(0.1), None, da_win,
+                            HW))
+        R_aug = augment_levels(R2, interp)
+        bundle2 = ObsBundle(xb=bundle.xb, yo=gt_aug * Hm, H=Hm, R=R_aug)
+
+        cost, to_state, parts = cost_mod.make_vae4dvar_cost(
+            decoder.apply, flow.apply, flow_hw=HW, da_win=da_win,
+            interp_matrix=interp,
+        )
+        plain = VariationalSolver(cost, to_state, parts, lbfgs_iters=4,
+                                  segment_dispatch=True,
+                                  iters_per_dispatch=1)
+        xa_ref = np.asarray(
+            plain.solve(z0, bundle2, params, nit=1, verbose=False)[1]
+        )
+        mesh = pmesh.make_mesh({"sh": 2, "sw": 4})
+        sharded = VariationalSolver(cost, to_state, parts, lbfgs_iters=4,
+                                    mesh=mesh, segment_dispatch=True,
+                                    iters_per_dispatch=1)
+        z, xa, _ = sharded.solve(z0, bundle2, params, nit=1, verbose=False)
+        assert not z.sharding.is_fully_replicated
+        # the big obs tensors must actually be partitioned, not replicated
+        assert not sharded._last_bundle_shardings["yo"].is_fully_replicated
+        inc_ref = xa_ref - np.asarray(bundle.xb)
+        inc = np.asarray(xa) - np.asarray(bundle.xb)
+        rel = np.linalg.norm(inc - inc_ref) / max(np.linalg.norm(inc_ref),
+                                                  1e-12)
+        assert rel < 1e-3, rel
+
+    @pytest.mark.slow
     def test_tp_spatial_combined_mesh_matches_unsharded(self):
         """The tp x sh x sw COMBINED mesh (the PERF.md round-3 plan for
         the 0.25deg decoder solve): decoder params tensor-parallel over

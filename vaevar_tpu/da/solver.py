@@ -348,6 +348,13 @@ class VariationalSolver:
 
         x0 = sh(x0)
         bundle = type(bundle)(*(sh(f) for f in bundle))
+        # introspection for tests/diagnostics: which layout each obs field
+        # actually got (e.g. the (T, 204, H, W) real-obs tensors MUST be
+        # partitioned — at 0.25deg they exceed one chip's HBM replicated)
+        self._last_bundle_shardings = {
+            name: getattr(f, "sharding", None)
+            for name, f in zip(bundle._fields, bundle)
+        }
         # replicate_missing keeps deliberate placements (tensor-parallel
         # kernels, expert banks) so tp x sh x sw meshes compose
         params = pmesh.replicate_missing(params, m)
