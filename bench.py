@@ -204,7 +204,8 @@ def bench_vae4dvar_3dvar():
     c, to_state, parts = cost_mod.make_vae4dvar_cost_reduced(decoder.apply)
     solver = VariationalSolver(c, to_state, parts,
                                lbfgs_iters=cfg.lbfgs_iters,
-                               history=cfg.lbfgs_history)
+                               history=cfg.lbfgs_history,
+                               linesearch=cfg.lbfgs_linesearch)
 
     def one_cycle(full):
         bundle = reduce(full)
@@ -239,7 +240,8 @@ def bench_sc4dvar_3dvar():
     reduce = jax.jit(lambda b: cost_mod.reduce_obs(b, cfg.solver_hw))
     c, to_state, parts = cost_mod.make_sc4dvar_cost_reduced(cvt.increment)
     solver = VariationalSolver(c, to_state, parts, lbfgs_iters=5,
-                               history=cfg.lbfgs_history)
+                               history=cfg.lbfgs_history,
+                               linesearch=cfg.lbfgs_linesearch)
 
     def one_cycle(full):
         bundle = reduce(full)
@@ -247,7 +249,7 @@ def bench_sc4dvar_3dvar():
                                 verbose=False)
         return integrate(params["flow"], xa)
 
-    dt = _time_cycles(one_cycle, full_bundle)
+    dt = _time_cycles(one_cycle, full_bundle, n=5, median=True)
     return {
         "metric": "sec_per_da_cycle_sc4dvar_3dvar_721x1440",
         "value": round(dt, 3),
@@ -279,6 +281,7 @@ def bench_vae4dvar_4dvar_win6():
     solver = VariationalSolver(c, to_state, parts,
                                lbfgs_iters=cfg.lbfgs_iters,
                                history=cfg.lbfgs_history,
+                               linesearch=cfg.lbfgs_linesearch,
                                **window_dispatch_kwargs(cfg.window_dispatch))
 
     def one_cycle(full):
@@ -287,7 +290,7 @@ def bench_vae4dvar_4dvar_win6():
                                 verbose=False)
         return integrate(params["flow"], xa)
 
-    dt = _time_cycles(one_cycle, full_bundle)
+    dt = _time_cycles(one_cycle, full_bundle, n=5, median=True)
     return {
         "metric": "sec_per_da_cycle_vae4dvar_4dvar_win6_721x1440",
         "value": round(dt, 3),
@@ -319,6 +322,7 @@ def bench_vae4dvar_4dvar_win6_140():
     solver = VariationalSolver(c, to_state, parts,
                                lbfgs_iters=cfg.lbfgs_iters,
                                history=cfg.lbfgs_history,
+                               linesearch=cfg.lbfgs_linesearch,
                                **window_dispatch_kwargs(cfg.window_dispatch))
 
     def one_cycle(full):
@@ -327,7 +331,7 @@ def bench_vae4dvar_4dvar_win6_140():
                                 verbose=False)
         return integrate(params["flow"], xa)
 
-    dt = _time_cycles(one_cycle, full_bundle)
+    dt = _time_cycles(one_cycle, full_bundle, n=5, median=True)
     print(f"# win6@1.4deg month extrapolation: {124 * dt:.0f} s for 124 "
           f"cycles (budget 600 s on v5e-8)", file=sys.stderr)
     return {
@@ -396,6 +400,7 @@ def bench_vae4dvar_win6_real_obs(hw=(721, 1440)):
     solver = VariationalSolver(c, to_state, parts,
                                lbfgs_iters=cfg.lbfgs_iters,
                                history=cfg.lbfgs_history,
+                               linesearch=cfg.lbfgs_linesearch,
                                segment_dispatch=True, iters_per_dispatch=1)
 
     # AOT-compile + gate the per-iteration segment program BEFORE any
@@ -427,7 +432,7 @@ def bench_vae4dvar_win6_real_obs(hw=(721, 1440)):
                                 verbose=False)
         return integrate(params["flow"], xa)
 
-    dt = _time_cycles(one_cycle, bundle, n=2)
+    dt = _time_cycles(one_cycle, bundle, n=5, median=True)
     return {
         "metric": f"sec_per_da_cycle_vae4dvar_win6_realobs_{HW[0]}x{HW[1]}",
         "value": round(dt, 3),

@@ -53,6 +53,31 @@ class TestShardedSolve:
     def test_requires_8_devices(self):
         assert jax.device_count() >= 8
 
+    def test_state_spec_for_odd_lat_partitions_lon(self):
+        """The production 0.25deg grid has 721 = 7 x 103 lat rows —
+        indivisible by any practical sh — so state_spec_for must fold
+        both mesh axes onto lon (1440 % 8 == 0) rather than silently
+        replicate (or crash: NamedSharding rejects uneven tilings). A
+        device_put at the real geometry proves the layout commits."""
+        from jax.sharding import PartitionSpec as P
+
+        mesh = pmesh.make_mesh({"sh": 2, "sw": 4})
+        # divisible grid: classic (sh, sw) placement
+        assert pmesh.state_spec_for(mesh, (69, 128, 256)) == P(
+            None, "sh", "sw")
+        # 0.25deg: lat indivisible, lon takes both axes
+        assert pmesh.state_spec_for(mesh, (69, 721, 1440)) == P(
+            None, None, ("sh", "sw"))
+        # transposed degenerate case: lon indivisible, lat takes both
+        assert pmesh.state_spec_for(mesh, (16, 721)) == P(
+            ("sh", "sw"), None)
+        # nothing fits: fully replicated, never an uneven tiling
+        assert pmesh.state_spec_for(mesh, (7, 103)) == P(None, None)
+        x = jnp.zeros((3, 721, 1440), jnp.bfloat16)
+        xs = pmesh.shard(x, mesh, pmesh.state_spec_for(mesh, x.shape))
+        assert not xs.sharding.is_fully_replicated
+        assert xs.sharding.shard_shape(x.shape) == (3, 721, 180)
+
     @pytest.mark.slow
     def test_sharded_matches_unsharded(self):
         cost, to_state, parts, bundle, params, z0 = setup()

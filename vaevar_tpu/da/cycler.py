@@ -442,7 +442,7 @@ class CycledDA:
 
         nd = jnp.ndim(a)
         full = nd >= 2 and a.shape[-1] > 1 and a.shape[-2] > 1
-        spec = pmesh.state_spec(self.mesh, nd) if full else P()
+        spec = pmesh.state_spec_for(self.mesh, a.shape) if full else P()
         return pmesh.shard(a, self.mesh, spec)
 
     def _score(self, prefix, x, gt0):

@@ -343,7 +343,7 @@ class VariationalSolver:
             # broadcastable fields (e.g. per-channel R, (T, C, 1, 1))
             # replicate: size-1 spatial dims can't split over sh/sw
             full = nd >= 2 and a.shape[-1] > 1 and a.shape[-2] > 1
-            spec = pmesh.state_spec(m, nd) if full else P()
+            spec = pmesh.state_spec_for(m, a.shape) if full else P()
             return pmesh.shard(a, m, spec)
 
         x0 = sh(x0)

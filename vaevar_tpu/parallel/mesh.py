@@ -110,6 +110,31 @@ def state_spec(mesh: Mesh, ndim: int = 3) -> P:
     return P(*lead, sh, sw)
 
 
+def state_spec_for(mesh: Mesh, shape) -> P:
+    """Shape-aware `state_spec`: a mesh axis is only placed on a dim it
+    evenly divides (NamedSharding rejects uneven tilings). The production
+    0.25deg grid has 721 = 7 x 103 lat rows — indivisible by any practical
+    `sh` — so when lat can't take `sh` but lon divides sh*sw, BOTH axes go
+    on lon (1440 % 8 == 0 on a v5e-8), keeping the array fully partitioned
+    instead of silently replicated. Falls back to dropping whichever axis
+    fits nowhere."""
+    names = mesh.axis_names
+    nsh = dict(zip(names, mesh.devices.shape))
+    h, w = shape[-2], shape[-1]
+    lead = [None] * (len(shape) - 2)
+    sh_ok = "sh" in names and h % nsh["sh"] == 0
+    sw_ok = "sw" in names and w % nsh["sw"] == 0
+    if sh_ok and sw_ok:
+        return P(*lead, "sh", "sw")
+    if ("sh" in names and "sw" in names and not sh_ok
+            and w % (nsh["sh"] * nsh["sw"]) == 0):
+        return P(*lead, None, ("sh", "sw"))
+    if ("sh" in names and "sw" in names and not sw_ok
+            and h % (nsh["sh"] * nsh["sw"]) == 0):
+        return P(*lead, ("sh", "sw"), None)
+    return P(*lead, "sh" if sh_ok else None, "sw" if sw_ok else None)
+
+
 def nhwc_spec(mesh: Mesh, batch: bool = True) -> P:
     """Shard (B, H, W, C) activations over (dp, sh, sw, -)."""
     dp = "dp" if (batch and "dp" in mesh.axis_names) else None
