@@ -102,10 +102,10 @@ def osse_world(tmp_path_factory):
     return src, integrate, dec_apply, params, err_std, err6_std
 
 
-def _cycle(osse_world, mode, workdir, n_days=2):
+def _cycle(osse_world, mode, workdir, n_days=2, da_win=1):
     src, integrate, dec_apply, params, err_std, err6_std = osse_world
     cfg = cfgs.DAConfig(
-        da_mode=mode, da_win=1, nit=3, lbfgs_iters=10,
+        da_mode=mode, da_win=da_win, nit=3, lbfgs_iters=10,
         obs_type="column_random_2000", obs_std=0.1, modify_tp=2,
         grid_hw=HW, solver_hw=HW, latent_shape=(1, 8, *HW),
         init_tp=0, init_lag=1, save_interval=100,
@@ -114,6 +114,7 @@ def _cycle(osse_world, mode, workdir, n_days=2):
     da = CycledDA(
         cfg, src, integrate, decoder_apply=dec_apply, vae_params=params,
         err_std=err6_std,
+        flow_apply=src.hourly_apply() if da_win > 1 else None,
         cvt=CVTransform(BMatrixAssets.synthetic(), HW, HW, hpad=28),
         work_dir=str(workdir), verbose=False, seed=1,
     )
@@ -126,10 +127,19 @@ def _cycle(osse_world, mode, workdir, n_days=2):
 @pytest.fixture(scope="module")
 def cycled(osse_world, tmp_path_factory):
     root = tmp_path_factory.mktemp("osse")
-    return {
+    out = {
         mode: _cycle(osse_world, mode, root / mode)
         for mode in ("free_run", "vae4dvar", "sc4dvar")
     }
+    # the 4D-VAR WINDOW (da_win=3): hourly obs slots + the hourly flow
+    # model INSIDE the cost — the production north-star machinery
+    # (ReducedWindowObs reducer, per-step checkpoint, window dispatch)
+    # previously had equivalence tests but no science guard (VERDICT r4
+    # item 6; reference da_4dvar.py:1190-1194,1269)
+    out["vae4dvar_win"] = _cycle(
+        osse_world, "vae4dvar", root / "vae4dvar_win", da_win=3
+    )
+    return out
 
 
 class TestOsseScience:
@@ -169,3 +179,20 @@ class TestOsseScience:
     def test_free_run_control_does_nothing(self, cycled):
         bg, ana = cycled["free_run"]
         np.testing.assert_array_equal(bg, ana)
+
+    def test_vae4dvar_window_analysis_beats_background(self, cycled):
+        """4D-Var window (da_win=3): the windowed reducer/remat/dispatch
+        stack must still produce analyses that beat the background —
+        science guard for the north-star mode, not just J-equivalence."""
+        bg, ana = cycled["vae4dvar_win"]
+        for ci in (Z500, T850, T2M):
+            assert (ana[:, ci] < bg[:, ci]).all(), ci
+            ratio = ana[:, ci].mean() / bg[:, ci].mean()
+            assert ratio < 0.85, (ci, ratio)
+
+    def test_vae4dvar_window_cycled_beats_free_run(self, cycled):
+        bg, _ = cycled["vae4dvar_win"]
+        fr, _ = cycled["free_run"]
+        for ci in (Z500, T850, T2M):
+            ratio = bg[1:, ci].mean() / fr[1:, ci].mean()
+            assert ratio < 0.85, (ci, ratio)

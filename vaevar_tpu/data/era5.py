@@ -234,6 +234,22 @@ class SharedModeEra5:
 
         return integrate, fengwu_apply
 
+    def hourly_apply(self):
+        """Normalized-space 1-HOUR step of the same imperfect model — the
+        4D-Var window's flow model (cycler STEP cadence, reference hourly
+        rollout da_4dvar.py:1190-1194). Like `advect_model`, it advects at
+        the mode-0 speed only, so window slots accumulate the same
+        mode-1 model error the NMC-trained VAE learns."""
+        import jax.numpy as jnp
+
+        shift1 = self.speeds[0]
+
+        def flow_apply(params, xn):  # normalized (B, C, H, W), one 1h step
+            del params
+            return jnp.roll(xn, shift1, axis=-1)
+
+        return flow_apply
+
 
 class SyntheticEra5:
     """state(t) = mean + std*(a*roll(base, v_c*t) + b*roll(mode2, u_c*t))."""
