@@ -282,7 +282,8 @@ def bench_vae4dvar_4dvar_win6():
                                lbfgs_iters=cfg.lbfgs_iters,
                                history=cfg.lbfgs_history,
                                linesearch=cfg.lbfgs_linesearch,
-                               **window_dispatch_kwargs(cfg.window_dispatch))
+                               **window_dispatch_kwargs(cfg.window_dispatch,
+                                                        linesearch=cfg.lbfgs_linesearch))
 
     def one_cycle(full):
         bundle = reduce(full)
@@ -323,7 +324,8 @@ def bench_vae4dvar_4dvar_win6_140():
                                lbfgs_iters=cfg.lbfgs_iters,
                                history=cfg.lbfgs_history,
                                linesearch=cfg.lbfgs_linesearch,
-                               **window_dispatch_kwargs(cfg.window_dispatch))
+                               **window_dispatch_kwargs(cfg.window_dispatch,
+                                                        linesearch=cfg.lbfgs_linesearch))
 
     def one_cycle(full):
         bundle = reduce(full)
@@ -406,6 +408,7 @@ def bench_vae4dvar_win6_real_obs(hw=(721, 1440)):
     # AOT-compile + gate the per-iteration segment program BEFORE any
     # dispatch (a worker OOM kills the tunnel for hours)
     z0 = jnp.zeros(cfg.latent_shape, jnp.float32)
+    solver.ensure_programs(z0, bundle, params)  # resolve linesearch="auto"
     st0 = solver.seg_init(z0)
     ev0 = segment_carry_init()
     compiled = jax.jit(solver._segment_raw).lower(

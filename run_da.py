@@ -41,16 +41,19 @@ def arg_parser():
                         "torch's max_iter*5//4). Sparse-obs windows grind "
                         "the zoom linesearch once easy descent is done; a "
                         "tighter budget trades fit tail for wall clock")
-    p.add_argument("--lbfgs_linesearch", type=str, default="zoom",
-                   choices=("zoom", "jvp-zoom"),
+    p.add_argument("--lbfgs_linesearch", type=str, default="auto",
+                   choices=("auto", "zoom", "jvp-zoom"),
                    help="strong-Wolfe probes: reverse-mode (zoom) or "
                         "forward-mode (jvp-zoom — same trajectory, probes "
-                        "cost ~2 forwards instead of fwd+bwd; wins on "
-                        "grinding sparse-obs window solves, roughly parity "
-                        "in the descent regime). jvp-zoom is rejected with "
-                        "a clear error for costs using custom-VJP flash "
-                        "attention (mask-free stages with N >= "
-                        "flash_min_seq, e.g. 0.25deg full-grid LG)")
+                        "cost ~2 forwards instead of fwd+bwd; 29%% faster "
+                        "on grinding sparse-obs window solves, parity-or-"
+                        "better in the descent regime — docs/PERF.md r5). "
+                        "auto (default) picks jvp-zoom when the cost "
+                        "supports forward-mode AD, else zoom. Explicit "
+                        "jvp-zoom is rejected with a clear error for "
+                        "costs using custom-VJP flash attention (mask-"
+                        "free stages with N >= flash_min_seq, e.g. "
+                        "0.25deg full-grid LG)")
     p.add_argument("--obs_type", type=str, default="column_random_0001")
     p.add_argument("--use_eval", action="store_true",
                    help="hold out obs cells and report obs-space error")

@@ -135,6 +135,33 @@ def stage_cycle():
               f"(month: {124 * dt:.0f} s, budget 600)")
 
 
+def stage_cycle_seg():
+    """zoom vs jvp-zoom at SEGMENT dispatch (one program per nit segment).
+
+    Exists because the FUSED jvp-zoom program wedged the remote compile
+    service for >75 min on 2026-08-21 (the zoom fused program compiles in
+    ~10 min): until that is understood, segment dispatch is the
+    practical granularity for jvp-zoom, and the apples-to-apples
+    comparison is both linesearches at the SAME granularity."""
+    print("== stage 2b: win6@1.4deg cycle at SEGMENT dispatch ==")
+    for ls in ("zoom", "jvp-zoom"):
+        cfg, _c, solver, reduce, integrate, params, full_bundle = _mk(
+            ls, dispatch="segment"
+        )
+        one_cycle = _cycle_fn(solver, reduce, integrate, params, cfg)
+        bundle = reduce(full_bundle)
+        z0 = jnp.zeros(cfg.latent_shape, jnp.float32)
+        st0 = solver.seg_init(z0)
+        compiled = jax.jit(solver._segment_raw).lower(
+            z0, st0, segment_carry_init(), bundle, params
+        ).compile()
+        if not bench._guard_hbm(compiled, f"win6_140_seg_{ls}"):
+            continue
+        dt = bench._time_cycles(one_cycle, full_bundle, n=5, median=True)
+        print(f"  {ls}@segment: {dt:.3f} s/cycle "
+              f"(month: {124 * dt:.0f} s, budget 600)")
+
+
 def stage_decomposition():
     print("== stage 3: eval decomposition (segmented win6@1.4deg) ==")
     cfg, _c, solver, reduce, integrate, params, full_bundle = _mk(
@@ -195,6 +222,7 @@ def stage_primary():
 STAGES = {
     "primitives": stage_primitives,
     "cycle": stage_cycle,
+    "cycle-seg": stage_cycle_seg,
     "decomposition": stage_decomposition,
     "primary": stage_primary,
 }

@@ -755,11 +755,53 @@ class TestReducedWindowCost:
         assert d._window_dispatch_kw() == {
             "segment_dispatch": True, "iters_per_dispatch": None}
 
-        d.cfg = DAConfig(da_win=6, window_dispatch="fused")
+        # "fused" is only honored for reverse-mode zoom: forward-mode
+        # linesearches ("jvp-zoom"/"auto", the default) demote to segment
+        # dispatch — the fused jvp window program wedges the XLA compile
+        # service (docs/PERF.md round 5)
+        d.cfg = DAConfig(da_win=6, window_dispatch="fused",
+                         lbfgs_linesearch="zoom")
         assert d._window_dispatch_kw() == {}
+        d.cfg = DAConfig(da_win=6, window_dispatch="fused")  # auto default
+        assert d._window_dispatch_kw() == {
+            "segment_dispatch": True, "iters_per_dispatch": None}
+        d.cfg = DAConfig(da_win=6, window_dispatch="fused",
+                         lbfgs_linesearch="zoom")
         d._reducible = False  # e.g. real obs: full windowed cost
         assert d._window_dispatch_kw() == {
             "segment_dispatch": True, "iters_per_dispatch": 1}
+
+    def test_auto_linesearch_resolves_by_cost(self):
+        """lbfgs_linesearch="auto" (the DAConfig default) must resolve to
+        "jvp-zoom" for forward-mode-differentiable costs and quietly fall
+        back to "zoom" for custom-VJP flash costs — no error, same
+        analysis either way (trajectory identity is pinned separately)."""
+        from vaevar_tpu.da.solver import VariationalSolver
+        from vaevar_tpu.ops.flash import flash_attention
+
+        def plain_cost(x, bundle, params):
+            return jnp.sum((x - 1.0) ** 2) + jnp.sum(x * bundle)
+
+        s = VariationalSolver(plain_cost, lambda x, b, p: x,
+                              lambda x, b, p: (0.0, 0.0),
+                              lbfgs_iters=2, linesearch="auto")
+        assert s.linesearch == "auto" and not hasattr(s, "segment")
+        x, _, _ = s.solve(jnp.ones(8), jnp.zeros(8), {}, nit=1, gt=None,
+                          verbose=False)
+        assert s.linesearch == "jvp-zoom"
+        assert np.all(np.isfinite(np.asarray(x)))
+
+        def flash_cost(x, bundle, params):
+            q = x.reshape(1, 1, 8, 4)
+            return jnp.sum(flash_attention(q, q, q, 4, 4) ** 2)
+
+        s2 = VariationalSolver(flash_cost, lambda x, b, p: x,
+                               lambda x, b, p: (0.0, 0.0),
+                               lbfgs_iters=2, linesearch="auto")
+        x2, _, _ = s2.solve(jnp.ones(32), jnp.zeros(1), {}, nit=1, gt=None,
+                            verbose=False)
+        assert s2.linesearch == "zoom"
+        assert np.all(np.isfinite(np.asarray(x2)))
 
     def test_resample_gather_matches_resize_composition(self):
         """S = down∘up as an index table equals actually composing the

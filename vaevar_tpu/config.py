@@ -302,6 +302,15 @@ class DAConfig:
     # a tighter budget trades analysis-fit tail for wall clock.
     lbfgs_max_evals: int | None = None
     # strong-Wolfe linesearch implementation (da/lbfgs.py):
+    #   "auto"     (default) resolve at the first solve: "jvp-zoom"
+    #              whenever the cost lowers under forward-mode AD, else
+    #              "zoom" (custom-VJP flash-attention costs). Measured
+    #              round 5 (docs/PERF.md): 21.0 vs 29.8 s/cycle on the
+    #              grinding win6@1.4deg north-star, 1.29 vs 1.40 on the
+    #              3D-Var primary. With window_dispatch="fused", jvp-zoom
+    #              window solves are demoted to segment dispatch (the
+    #              fused forward-mode window program wedges the XLA
+    #              compile service — solver.window_dispatch_kwargs).
     #   "zoom"     optax's reverse-mode probes: every probe pays a full
     #              value_and_grad (fwd + remat recompute + grad ops
     #              through the decoder + da_win flow steps)
@@ -322,7 +331,7 @@ class DAConfig:
     #              first probe's, so jvp-zoom is roughly parity-to-
     #              slightly-slower there and only wins on grinding zooms
     #              (measured numbers: docs/PERF.md round 5).
-    lbfgs_linesearch: str = "zoom"
+    lbfgs_linesearch: str = "auto"
 
     def replace(self, **kw) -> "DAConfig":
         return dataclasses.replace(self, **kw)

@@ -265,7 +265,8 @@ class CycledDA:
         if self.cfg.da_win <= 1:
             return {}
         return window_dispatch_kwargs(self.cfg.window_dispatch,
-                                      self._reducible)
+                                      self._reducible,
+                                      self.cfg.lbfgs_linesearch)
 
     # --- resume machinery -----------------------------------------------
 

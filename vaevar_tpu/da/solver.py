@@ -37,14 +37,24 @@ from vaevar_tpu.da.lbfgs import (
 from vaevar_tpu.utils import metrics as M
 
 
-def window_dispatch_kwargs(mode: str, reducible: bool = True) -> dict:
+def window_dispatch_kwargs(mode: str, reducible: bool = True,
+                           linesearch: str = "zoom") -> dict:
     """VariationalSolver kwargs for a DAConfig.window_dispatch mode
     ("iter" | "segment" | "fused") — identical optimizer trajectory at
     every granularity. "fused" is only honored on the reduced window
     quadratic: a full-grid window cost runs minutes per XLA program and
-    trips the TPU-worker watchdog (docs/PERF.md)."""
+    trips the TPU-worker watchdog (docs/PERF.md). "fused" is also
+    demoted to "segment" for forward-mode linesearches ("jvp-zoom", or
+    "auto" which resolves to it whenever the cost allows): the fused
+    nit-scan of the jvp-zoom window program wedged the remote XLA
+    compile service for >75 min (2026-08-21, win6@1.4deg; the zoom
+    equivalent compiles in ~10 min), while the per-segment jvp-zoom
+    program compiles in ~15 min and RUNS 29%% faster than fused-zoom
+    (docs/PERF.md round 5)."""
     if mode == "fused" and not reducible:
         mode = "iter"
+    if mode == "fused" and linesearch in ("jvp-zoom", "auto"):
+        mode = "segment"
     if mode == "fused":
         return {}
     return {
@@ -100,16 +110,6 @@ class VariationalSolver:
         self._mean = jnp.asarray(channels.MEAN, jnp.float32).reshape(-1, 1, 1)
         self._std = jnp.asarray(channels.STD, jnp.float32).reshape(-1, 1, 1)
 
-        # the reference creates ONE torch LBFGS per analysis and calls
-        # .step() Nit times (da_4dvar.py:1240,1298): optimizer state carries
-        # across the outer diagnostic iterations. `segment` therefore
-        # threads the optax state through.
-        self.linesearch = linesearch
-
-        def seg_init(x):
-            return lbfgs_init_state(x, history=history, linesearch=linesearch)
-
-        ipd = self._ipd
         # torch's per-.step() closure-eval budget (max_eval = max_iter*5//4,
         # da_4dvar.py:1119,1240 leave it at the default): one OUTER segment
         # of lbfgs_iters iterations gets this many cost evals, regardless
@@ -122,15 +122,6 @@ class VariationalSolver:
                      else lbfgs_iters * 5 // 4)
         self.max_segment_evals = seg_evals
 
-        def segment(x, state, carry, bundle, params):
-            res = lbfgs_minimize(
-                lambda q: cost(q, bundle, params), x, max_iters=ipd,
-                history=history, init_state=state,
-                max_evals=seg_evals, seg_carry=carry,
-                linesearch=linesearch,
-            )
-            return res.x, res.state, res.seg_carry
-
         def diagnostics(x, bundle, params, gt0):
             xhat_n = (to_state(x, bundle, params) - self._mean) / self._std
             gt_n = (gt0 - self._mean) / self._std
@@ -141,20 +132,68 @@ class VariationalSolver:
             jb, jo = cost_parts(x, bundle, params)
             return wrmse, bias, jb, jo
 
-        self._jvp_checked = linesearch != "jvp-zoom"
-        self.seg_init = jax.jit(seg_init)
-        self.segment = jax.jit(segment)
         self.diagnostics = jax.jit(diagnostics)
         self.to_state = jax.jit(to_state)
         self._cost = cost
         self._to_state_raw = to_state
-        self._segment_raw = segment
-        self._seg_init_raw = seg_init
         self._diagnostics_raw = diagnostics
         self._lbfgs_iters = lbfgs_iters
         self._history = history
         self._fused_cache = {}
         self._scan_cache = {}
+        # "auto" defers the linesearch choice to the first solve (forward-
+        # mode probes whenever the cost supports jvp — see
+        # ensure_programs); explicit modes build the jitted programs now.
+        self.linesearch = linesearch
+        if linesearch != "auto":
+            self._build_programs(linesearch)
+
+    def _build_programs(self, linesearch: str):
+        """Construct the linesearch-dependent jitted programs.
+
+        The reference creates ONE torch LBFGS per analysis and calls
+        .step() Nit times (da_4dvar.py:1240,1298): optimizer state carries
+        across the outer diagnostic iterations. `segment` therefore
+        threads the optax state through."""
+        cost, history, ipd = self._cost, self._history, self._ipd
+        seg_evals = self.max_segment_evals
+
+        def seg_init(x):
+            return lbfgs_init_state(x, history=history, linesearch=linesearch)
+
+        def segment(x, state, carry, bundle, params):
+            res = lbfgs_minimize(
+                lambda q: cost(q, bundle, params), x, max_iters=ipd,
+                history=history, init_state=state,
+                max_evals=seg_evals, seg_carry=carry,
+                linesearch=linesearch,
+            )
+            return res.x, res.state, res.seg_carry
+
+        self.linesearch = linesearch
+        self._jvp_checked = linesearch != "jvp-zoom"
+        self.seg_init = jax.jit(seg_init)
+        self.segment = jax.jit(segment)
+        self._segment_raw = segment
+        self._seg_init_raw = seg_init
+
+    def ensure_programs(self, x0, bundle, params):
+        """Resolve linesearch="auto" (idempotent; no device work).
+
+        "auto" picks "jvp-zoom" — forward-mode linesearch probes,
+        trajectory-identical to "zoom" and 29% faster on the grinding
+        1.4deg win6 north-star, parity-or-better elsewhere (docs/PERF.md
+        round 5) — whenever the cost lowers under jax.jvp, falling back
+        to "zoom" for reverse-only costs (custom-VJP flash attention).
+        Callers that touch `seg_init`/`segment`/`_segment_raw` directly
+        (bench AOT gates, profiling scripts) must call this first when
+        the solver may have been built with "auto"."""
+        if self.linesearch != "auto":
+            return
+        self._build_programs(
+            "jvp-zoom" if self._jvp_compatible(x0, bundle, params)
+            else "zoom"
+        )
 
     def fused_solve(self, nit: int):
         """One jitted program for the whole solve when no per-iteration
@@ -224,6 +263,7 @@ class VariationalSolver:
         name: str = "da",
     ):
         params = {} if params is None else params
+        self.ensure_programs(x0, bundle, params)
         if not self._jvp_checked:
             self._assert_jvp_compatible(x0, bundle, params)
             self._jvp_checked = True
@@ -250,9 +290,10 @@ class VariationalSolver:
         diag.seconds = time.time() - t0
         return x, xa, diag
 
-    def _assert_jvp_compatible(self, x0, bundle, params):
-        """Fail EARLY and clearly when linesearch="jvp-zoom" is paired with
-        a cost that forward-mode AD cannot trace.
+    def _jvp_compatible(self, x0, bundle, params) -> bool:
+        """Whether the cost lowers under forward-mode AD (abstract-shape
+        jvp lowering; no compile, no device work — the custom_vjp
+        complaint only fires at jit-lowering, not under eval_shape).
 
         The flash-attention ops (ops/pallas_attn.py, ops/flash.py) are
         `jax.custom_vjp` functions — reverse-mode only; `jax.jvp` raises
@@ -260,11 +301,7 @@ class VariationalSolver:
         has N >= flash_min_seq (the 0.25deg LG net's full-grid stage,
         N=16200) or lg_full_attn_first=True at large grids. Rather than
         introspect model configs (fragile), LOWER a jvp of the actual
-        cost once per run (abstract shapes, no compile, no device work —
-        the custom_vjp complaint only fires at jit-lowering, not under
-        eval_shape/make_jaxpr) and translate the obscure trace error
-        into an actionable one.
-        """
+        cost once per run."""
         def probe(x):
             return jax.jvp(
                 lambda q: self._cost(q, bundle, params), (x,), (x,)
@@ -279,6 +316,15 @@ class VariationalSolver:
         except TypeError as e:
             if "custom_vjp" not in str(e) and "forward-mode" not in str(e):
                 raise
+            return False
+        return True
+
+    def _assert_jvp_compatible(self, x0, bundle, params):
+        """Fail EARLY and clearly when linesearch="jvp-zoom" was requested
+        EXPLICITLY for a cost that forward-mode AD cannot trace (the
+        "auto" mode instead falls back to "zoom" — see ensure_programs).
+        """
+        if not self._jvp_compatible(x0, bundle, params):
             raise ValueError(
                 "lbfgs_linesearch='jvp-zoom' needs a forward-mode-"
                 "differentiable cost, but this cost hits a custom-VJP "
@@ -288,7 +334,7 @@ class VariationalSolver:
                 "Use lbfgs_linesearch='zoom' for this config, or raise "
                 "flash_min_seq above the largest mask-free stage so the "
                 "dense attention path (jvp-capable) is used instead."
-            ) from e
+            )
 
     @staticmethod
     def _record_iter(diag, wrmse, bias, jb, jo, kk, verbose, name):
