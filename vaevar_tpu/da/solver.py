@@ -302,17 +302,21 @@ class VariationalSolver:
         N=16200) or lg_full_attn_first=True at large grids. Rather than
         introspect model configs (fragile), LOWER a jvp of the actual
         cost once per run."""
-        def probe(x):
+        def probe(x, b, p):
             return jax.jvp(
-                lambda q: self._cost(q, bundle, params), (x,), (x,)
+                lambda q: self._cost(q, b, p), (x,), (x,)
             )[1]
 
-        abstract = jax.tree.map(
+        # bundle/params are abstract TRACED args of the probe too — closed
+        # over they'd be embedded as (multi-GiB at real-obs geometries)
+        # lowering constants (house rule, CLAUDE.md)
+        abstract, a_bundle, a_params = jax.tree.map(
             lambda a: jax.ShapeDtypeStruct(jnp.shape(a),
-                                           jnp.asarray(a).dtype), x0
+                                           jnp.asarray(a).dtype),
+            (x0, bundle, params),
         )
         try:
-            jax.jit(probe).lower(abstract)
+            jax.jit(probe).lower(abstract, a_bundle, a_params)
         except TypeError as e:
             if "custom_vjp" not in str(e) and "forward-mode" not in str(e):
                 raise
