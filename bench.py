@@ -472,7 +472,7 @@ def _tree_sync(tree):
     return float(jnp.sum(jax.tree_util.tree_leaves(tree)[0]))
 
 
-def bench_vae_train_step(micro: bool = False):
+def bench_vae_train_step(micro: bool = False, batch_override: int | None = None):
     """VAE-trainer step (run_train_vae.py config: grid 128x256, bf16 +
     remat models, nmc_steps=4) at batch 2 — the largest per-chip batch
     that fits one v5e next to the params (the CLI-default GLOBAL batch 8
@@ -500,7 +500,7 @@ def bench_vae_train_step(micro: bool = False):
         # remat=True matches the CLI default (--remat): without it the
         # batch-8 step holds 56 GiB of HLO temp — 3.5x one v5e chip's HBM
         # (measured via the AOT compiler's memory analysis, docs/PERF.md)
-        hw, batch = (128, 256), 2
+        hw, batch = (128, 256), batch_override or 2
         flow_cfg = FLOW_140.replace(dtype=dtype, remat=True)
         enc_cfg = VAE_ENCODER.replace(dtype=dtype, remat=True)
         dec_cfg = VAE_DECODER.replace(dtype=dtype, remat=True)
@@ -522,7 +522,7 @@ def bench_vae_train_step(micro: bool = False):
     step = jax.jit(train_step, donate_argnums=(0, 1))
     compiled = step.lower(params, opt_state, fengwu_params, frames, rng
                           ).compile()
-    if not _guard_hbm(compiled, "vae_train_step"):
+    if not _guard_hbm(compiled, f"vae_train_step_b{batch}"):
         return None
     params, opt_state, m = compiled(params, opt_state, fengwu_params,
                                     frames, rng)
@@ -597,6 +597,16 @@ def bench_forecast_train_step(micro: bool = False):
     }
 
 
+def bench_vae_train_step_any():
+    """Batch 2 if the program fits the execution guard, else batch 1 —
+    a b1 number beats a guard-skip row (round-5 sweep: b2 is 13.8 GiB
+    > the 12.5 GiB guard on one chip)."""
+    r = bench_vae_train_step()
+    if r is None:
+        r = bench_vae_train_step(batch_override=1)
+    return r
+
+
 # --full secondary-metric registry, in run order (primary runs LAST,
 # outside this list). One crashing SECONDARY must not void the whole
 # artifact (a compile-time OOM raises from .compile() before _guard_hbm
@@ -606,13 +616,16 @@ def bench_forecast_train_step(micro: bool = False):
 # adding a secondary here never needs a test edit, and an un-mocked
 # addition can never run a production-size solve on CPU inside the fast
 # tier (the round-4 ee44e43 regression).
+# TRAIN steps run FIRST: their 12-14 GiB programs need a fresh HBM heap —
+# measured after the DA benches the forecast step read 14.4 s vs 2.24 s
+# fresh (docs/PERF.md round-5 addendum, fragmentation hypothesis).
 SECONDARIES = [
+    bench_vae_train_step_any,
+    bench_forecast_train_step,
     bench_sc4dvar_3dvar,
     bench_vae4dvar_4dvar_win6,
     bench_vae4dvar_4dvar_win6_140,
     bench_vae4dvar_win6_real_obs_any,
-    bench_vae_train_step,
-    bench_forecast_train_step,
 ]
 
 

@@ -118,12 +118,13 @@ class TestSecondarySkip:
         by the wholesale patch above."""
         names = [fn.__name__ for fn in bench.SECONDARIES]
         assert names == [
+            # train steps first: fresh-heap measurement (PERF.md r5)
+            "bench_vae_train_step_any",
+            "bench_forecast_train_step",
             "bench_sc4dvar_3dvar",
             "bench_vae4dvar_4dvar_win6",
             "bench_vae4dvar_4dvar_win6_140",
             "bench_vae4dvar_win6_real_obs_any",
-            "bench_vae_train_step",
-            "bench_forecast_train_step",
         ], ("bench.SECONDARIES changed — update this list AND confirm "
             "test_full_survives_secondary_crash still covers the skip "
             "paths you care about (it patches the registry wholesale, so "
