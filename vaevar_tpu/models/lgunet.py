@@ -305,14 +305,15 @@ class Block(nn.Module):
     flash_min_seq: int = 4096
     dilated_size: tuple[int, ...] | None = None  # SD_attn dilated groups
     # NOTE round 4: the fused Pallas Swin block integration (a `fuse`
-    # flag routing relbias blocks through ops/fused_block.fused_swin_block)
+    # flag routing relbias blocks through a fused_swin_block kernel)
     # was REMOVED after three rounds of measurement: forward-fused blocks
     # match modular XLA +-5% (docs/PERF.md rounds 1/3), and the round-4
     # MFU/remat probes show the enc/dec stages are latency-bound by the
     # architecture's tiny dims (C=96 matmuls at ~7 TF/s vs the 117 TF/s
     # roofline, ~80 us/op floor under XLA AND Mosaic alike) — no fusion
-    # can aggregate past that without changing the model. The kernel
-    # itself remains in ops/fused_block.py with its unit tests.
+    # can aggregate past that without changing the model. Round 5's
+    # batch-scaling probe (docs/PERF.md) closed the remaining reuse case
+    # and the orphaned kernel was pruned (git history: ops/fused_block.py).
 
     @nn.compact
     def __call__(self, x):
